@@ -1,0 +1,8 @@
+from rescan_line_sted_tpu.imaging.point_sted import point_sted_image  # noqa: F401
+from rescan_line_sted_tpu.imaging.line_sted import line_sted_image  # noqa: F401
+from rescan_line_sted_tpu.imaging.rescan import rescanned_line_sted_image  # noqa: F401
+from rescan_line_sted_tpu.imaging.analytic import (  # noqa: F401
+    point_system_kernel,
+    line_system_kernel,
+    rescan_system_kernel,
+)

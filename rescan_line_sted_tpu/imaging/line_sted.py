@@ -1,0 +1,82 @@
+"""Descanned line-STED engine (reference call stack 4.2; BASELINE config 2).
+
+The excitation line runs along y and is scanned along x: ``W`` scan positions
+produce one image column each through a descanned slit. Methods as in
+``point_sted.py``: ``"analytic"`` (one FFT correlation, exact statistics) and
+``"scan"`` (``lax.scan`` over chunked line positions -- one batched FFT
+convolution per chunk; this is the scan-steps/sec benchmark path).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rescan_line_sted_tpu.config import LineSTEDGeometry, LineSTEDParams
+from rescan_line_sted_tpu.imaging import analytic
+from rescan_line_sted_tpu.imaging.point_sted import AcquisitionResult
+from rescan_line_sted_tpu.imaging.shifts import shifted_profiles
+from rescan_line_sted_tpu.kernels import fftconv
+from rescan_line_sted_tpu.physics import psf as psfs
+from rescan_line_sted_tpu.physics.dose import line_sted_dose
+from rescan_line_sted_tpu.physics.noise import maybe_poisson
+
+
+def line_sted_image(
+    sample: jnp.ndarray,
+    params: LineSTEDParams,
+    geom: LineSTEDGeometry,
+    key: jax.Array | None = None,
+    method: str = "analytic",
+) -> AcquisitionResult:
+    """Simulate a full descanned line-STED acquisition of ``sample``."""
+    if method == "analytic":
+        image = _analytic(sample, params, geom, key)
+    elif method == "scan":
+        image = _scan(sample, params, geom, key)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
+
+
+def effective_line_profile(width: int, params: LineSTEDParams) -> jnp.ndarray:
+    """Centered 1D effective (depleted) excitation line profile, [W]."""
+    exc = psfs.line_excitation_profile(width, params.sigma_exc)
+    dep = psfs.stripe_depletion_profile(width, params.stripe_period)
+    return psfs.effective_psf(exc, dep, params.depletion)
+
+
+def _analytic(sample, params, geom, key):
+    k = analytic.line_system_kernel(geom.grid.shape, params)
+    mean = params.brightness * fftconv.fft_correlate(sample, k)
+    return maybe_poisson(key, mean)
+
+
+def _scan(sample, params, geom, key):
+    shape = geom.grid.shape
+    h, w = shape
+    chunk = geom.chunk
+    if w % chunk:
+        raise ValueError("chunk must divide width")
+    n_chunks = w // chunk
+
+    eff = effective_line_profile(w, params)
+    det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
+    slit = psfs.slit_profile(w, params.slit_halfwidth)
+
+    positions = jnp.arange(w).reshape(n_chunks, chunk)
+    xs = positions if key is None else (positions, jax.random.split(key, n_chunks))
+
+    def body(img, chunk_in):
+        pos, k = (chunk_in, None) if key is None else chunk_in
+        ill = shifted_profiles(eff, pos)                         # [C, W]
+        emitted = ill[:, None, :] * sample[None]                 # [C, H, W]
+        cam = maybe_poisson(
+            k, params.brightness * fftconv.convolve_otf(emitted, det_otf))
+        slits = shifted_profiles(slit, pos)                      # [C, W]
+        cols = jnp.einsum("chw,cw->hc", cam, slits)              # [H, C]
+        return img.at[:, pos].set(cols), None
+
+    init = jnp.zeros(shape, jnp.float32)
+    img, _ = jax.lax.scan(body, init, xs)
+    return img

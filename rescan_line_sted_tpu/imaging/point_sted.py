@@ -1,0 +1,93 @@
+"""Point-scanning STED engine (reference call stack 4.1; BASELINE config 1).
+
+Two method paths, identical physics:
+
+* ``"analytic"`` (default): one FFT correlation of the sample with the
+  closed-form system kernel, then one Poisson draw -- statistically exact
+  (see ``imaging/analytic.py``). This is the production path.
+* ``"scan"``: the faithful per-scan-position process -- a ``lax.scan`` over
+  chunks of scan positions, each chunk one batched gather-shift /
+  emit-multiply / FFT-convolve / Poisson / pinhole-sum (the reference's
+  ``W*H``-iteration Python hot loop, compiled). Used for parity testing and
+  for per-step camera-frame inspection on small grids.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rescan_line_sted_tpu.config import PointSTEDGeometry, PointSTEDParams
+from rescan_line_sted_tpu.imaging import analytic
+from rescan_line_sted_tpu.imaging.shifts import shifted_images
+from rescan_line_sted_tpu.kernels import fftconv
+from rescan_line_sted_tpu.physics import psf as psfs
+from rescan_line_sted_tpu.physics.dose import DoseReport, point_sted_dose
+from rescan_line_sted_tpu.physics.noise import maybe_poisson
+
+
+@struct.dataclass
+class AcquisitionResult:
+    image: jnp.ndarray
+    dose: DoseReport
+
+
+def point_sted_image(
+    sample: jnp.ndarray,
+    params: PointSTEDParams,
+    geom: PointSTEDGeometry,
+    key: jax.Array | None = None,
+    method: str = "analytic",
+) -> AcquisitionResult:
+    """Simulate a full descanned point-STED acquisition of ``sample``.
+
+    ``key=None`` returns the noise-free expected image.
+    """
+    if method == "analytic":
+        image = _analytic(sample, params, geom, key)
+    elif method == "scan":
+        image = _scan(sample, params, geom, key)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return AcquisitionResult(image=image, dose=point_sted_dose(params, geom))
+
+
+def _analytic(sample, params, geom, key):
+    k = analytic.point_system_kernel(geom.grid.shape, params)
+    mean = params.brightness * fftconv.fft_correlate(sample, k)
+    return maybe_poisson(key, mean)
+
+
+def _scan(sample, params, geom, key):
+    shape = geom.grid.shape
+    h, w = shape
+    chunk = geom.chunk
+    num_steps = geom.num_steps
+    if num_steps % chunk:
+        raise ValueError("chunk must divide height * width")
+    n_chunks = num_steps // chunk
+
+    exc = psfs.gaussian_psf(shape, params.sigma_exc)
+    dep = psfs.donut_psf(shape, params.sigma_dep)
+    eff = psfs.effective_psf(exc, dep, params.depletion)
+    det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
+    pin = psfs.pinhole_mask(shape, params.pinhole_radius)
+
+    # Raster scan: step s visits pixel (s // W, s % W).
+    steps = jnp.arange(num_steps).reshape(n_chunks, chunk)
+    xs = steps if key is None else (steps, jax.random.split(key, n_chunks))
+
+    def body(img, chunk_in):
+        pos_flat, k = (chunk_in, None) if key is None else chunk_in
+        pos = jnp.stack([pos_flat // w, pos_flat % w], axis=-1)  # [C, 2] (y, x)
+        ill = shifted_images(eff, pos)                           # [C, H, W]
+        cam_mean = params.brightness * fftconv.convolve_otf(ill * sample, det_otf)
+        cam = maybe_poisson(k, cam_mean)
+        pinholes = shifted_images(pin, pos)                      # [C, H, W]
+        vals = jnp.einsum("chw,chw->c", cam, pinholes)
+        return img.at[pos[:, 0], pos[:, 1]].set(vals), None
+
+    init = jnp.zeros(shape, jnp.float32)
+    img, _ = jax.lax.scan(body, init, xs)
+    return img

@@ -1,0 +1,105 @@
+"""Rescanned line-STED engine -- the paper's headline modality
+(reference call stack 4.3; BASELINE config 3).
+
+Camera-based detection with pixel reassignment: the camera frame captured at
+scan position ``x0`` is re-binned by the detector binning factor ``b`` and
+accumulated into the output canvas at column offset
+``round((R - 1) * x0 / b)`` (so camera column x lands at canvas column
+``R*x0 + (x - x0)``), wrapping circularly on the ``round(R*W)/b``-wide canvas.
+
+Methods:
+
+* ``"analytic"``: canvas = ``conv(upsample_x(sample, R), H)`` with the
+  closed-form rescan kernel H, one Poisson draw (exact statistics; integer R,
+  ``binning=1``; matches the scan path away from the circular seam).
+* ``"scan"``: ``lax.scan`` over chunked line positions; each chunk's frames
+  are scatter-added by the Pallas rescan-accumulate kernel
+  (``kernels/rescan_accumulate.py``), or the XLA ``.at[].add`` fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rescan_line_sted_tpu.config import RescanGeometry, RescanParams
+from rescan_line_sted_tpu.imaging import analytic
+from rescan_line_sted_tpu.imaging.line_sted import effective_line_profile
+from rescan_line_sted_tpu.imaging.point_sted import AcquisitionResult
+from rescan_line_sted_tpu.imaging.shifts import shifted_profiles
+from rescan_line_sted_tpu.kernels import fftconv
+from rescan_line_sted_tpu.kernels.rescan_accumulate import rescan_accumulate
+from rescan_line_sted_tpu.physics import psf as psfs
+from rescan_line_sted_tpu.physics.dose import line_sted_dose
+from rescan_line_sted_tpu.physics.noise import maybe_poisson
+
+
+def rescanned_line_sted_image(
+    sample: jnp.ndarray,
+    params: RescanParams,
+    geom: RescanGeometry,
+    key: jax.Array | None = None,
+    method: str = "analytic",
+    use_pallas: bool | None = None,
+) -> AcquisitionResult:
+    """Simulate a full rescanned line-STED acquisition of ``sample``.
+
+    Returns the rescanned canvas ``[H/b, round(R*W)/b]``.
+    """
+    if method == "analytic":
+        image = _analytic(sample, params, geom, key)
+    elif method == "scan":
+        image = _scan(sample, params, geom, key, use_pallas)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
+
+
+def _analytic(sample, params, geom, key):
+    r = int(round(geom.rescan_factor))
+    hc, wc = geom.canvas_shape
+    h_kernel = analytic.rescan_system_kernel(geom, params)
+    up = analytic.upsample_x(sample, r, wc)
+    mean = params.brightness * fftconv.fft_convolve(up, h_kernel)
+    return maybe_poisson(key, mean)
+
+
+def _rebin(cam: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Sum camera pixels in b x b blocks: [..., H, W] -> [..., H/b, W/b]."""
+    if b == 1:
+        return cam
+    *lead, h, w = cam.shape
+    return cam.reshape(*lead, h // b, b, w // b, b).sum(axis=(-3, -1))
+
+
+def _scan(sample, params, geom, key, use_pallas):
+    shape = geom.grid.shape
+    h, w = shape
+    b = geom.binning
+    chunk = geom.chunk
+    if w % chunk:
+        raise ValueError("chunk must divide width")
+    n_chunks = w // chunk
+    hc, wc = geom.canvas_shape
+
+    eff = effective_line_profile(w, params)
+    det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
+
+    positions = jnp.arange(w).reshape(n_chunks, chunk)
+    xs = positions if key is None else (positions, jax.random.split(key, n_chunks))
+
+    def body(canvas, chunk_in):
+        pos, k = (chunk_in, None) if key is None else chunk_in
+        ill = shifted_profiles(eff, pos)                         # [C, W]
+        emitted = ill[:, None, :] * sample[None]                 # [C, H, W]
+        cam = maybe_poisson(
+            k, params.brightness * fftconv.convolve_otf(emitted, det_otf))
+        frames = _rebin(cam, b)                                  # [C, H/b, W/b]
+        offsets = jnp.round(
+            (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
+        return rescan_accumulate(canvas, frames, offsets,
+                                 use_pallas=use_pallas), None
+
+    init = jnp.zeros((hc, wc), jnp.float32)
+    canvas, _ = jax.lax.scan(body, init, xs)
+    return canvas

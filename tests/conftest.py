@@ -1,0 +1,23 @@
+"""Test environment: run JAX on a virtual 8-device CPU mesh.
+
+Tests exercise the full engine (including mesh/sharding code paths) without
+TPU hardware; the benchmark harness (`bench.py`) runs on the real chip.
+Environment must be set before the first `import jax` anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The experimental 'axon' TPU plugin registers itself even when JAX_PLATFORMS
+# requests cpu; force the config (must happen before first backend use).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
