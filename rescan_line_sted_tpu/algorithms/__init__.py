@@ -1,0 +1,9 @@
+from rescan_line_sted_tpu.algorithms.richardson_lucy import (  # noqa: F401
+    richardson_lucy,
+    richardson_lucy_views,
+)
+from rescan_line_sted_tpu.algorithms.metrics import (  # noqa: F401
+    fwhm_1d,
+    fwhm_2d,
+    system_resolution_report,
+)

@@ -1,0 +1,5 @@
+from rescan_line_sted_tpu.sweeps.dose import (  # noqa: F401
+    ModalitySweep,
+    DoseMatchedComparison,
+    dose_matched_sweep,
+)

@@ -1,0 +1,121 @@
+"""Dose-matched point-vs-line STED comparison sweep (component C8;
+call stack 4.4; BASELINE config 4).
+
+The paper's central comparison: sweep the depletion saturation ``s`` for both
+modalities while holding the **total per-pixel photodose** (excitation +
+depletion, the photodamage proxy) at a fixed budget, and compare resolution,
+emitted signal, and scan-step counts. The reference reruns its whole
+simulation per sweep point in Python; here the sweep axis is ``vmap``-ped so
+the entire comparison compiles to ONE XLA program (BASELINE.json: "Batch
+entire dose-matched point-vs-line comparison sweeps with vmap/pmap") and the
+batch axis can be sharded over a device mesh (see ``parallel/mesh.py``).
+
+Dose matching: for each sweep point and modality the exposure (dwell-time
+scale) is set to ``budget / (exc_dose + dep_dose(s))``; line-STED exposure is
+further divided by the number of acquisition orientations so the *summed*
+line dose meets the same budget. Emitted signal then follows the closed-form
+ledger in ``physics/dose.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rescan_line_sted_tpu.algorithms.metrics import fwhm_2d
+from rescan_line_sted_tpu.config import (
+    LineSTEDGeometry,
+    LineSTEDParams,
+    PointSTEDGeometry,
+    PointSTEDParams,
+)
+from rescan_line_sted_tpu.imaging import analytic
+from rescan_line_sted_tpu.imaging.line_sted import line_sted_image
+from rescan_line_sted_tpu.imaging.point_sted import point_sted_image
+from rescan_line_sted_tpu.physics.dose import line_sted_dose, point_sted_dose
+
+
+@struct.dataclass
+class ModalitySweep:
+    """Per-sweep-point results for one modality (leading dim = sweep)."""
+
+    image: jnp.ndarray           # [B, H, W] dose-matched acquisition
+    fwhm_x: jnp.ndarray          # [B] system-kernel FWHM, scan axis
+    fwhm_y: jnp.ndarray          # [B]
+    emitted_signal: jnp.ndarray  # [B] expected emitted photons (whole image)
+    exposure: jnp.ndarray        # [B] dwell scale that meets the budget
+    num_steps: jnp.ndarray       # [B] scan positions per acquisition
+
+
+@struct.dataclass
+class DoseMatchedComparison:
+    depletion_powers: jnp.ndarray  # [B]
+    dose_budget: jnp.ndarray       # scalar (per-pixel total dose)
+    point: ModalitySweep
+    line: ModalitySweep
+
+
+def dose_matched_sweep(
+    sample: jnp.ndarray,
+    point_base: PointSTEDParams,
+    line_base: LineSTEDParams,
+    point_geom: PointSTEDGeometry,
+    line_geom: LineSTEDGeometry,
+    depletion_powers: jnp.ndarray,
+    dose_budget,
+    key: jax.Array | None = None,
+    orientations: int = 1,
+) -> DoseMatchedComparison:
+    """Run the full dose-matched comparison as one vmapped program.
+
+    ``depletion_powers`` [B] is the sweep axis (shard it over a mesh "batch"
+    axis for multi-chip). ``key=None`` gives noise-free expected images.
+    """
+    shape = point_geom.grid.shape
+    powers = jnp.asarray(depletion_powers, jnp.float32)
+    budget = jnp.asarray(dose_budget, jnp.float32)
+    sample_sum = jnp.sum(sample)
+
+    def one(s, kp, kl):
+        pp = point_base.replace(depletion=s)
+        lp = line_base.replace(depletion=s)
+        pdose = point_sted_dose(pp, point_geom)
+        ldose = line_sted_dose(lp, line_geom)
+        exp_p = budget / pdose.total_dose
+        exp_l = budget / (ldose.total_dose * orientations)
+        pp_run = pp.replace(brightness=pp.brightness * exp_p)
+        lp_run = lp.replace(brightness=lp.brightness * exp_l)
+
+        pimg = point_sted_image(sample, pp_run, point_geom, key=kp).image
+        limg = line_sted_image(sample, lp_run, line_geom, key=kl).image
+
+        p_fy, p_fx = fwhm_2d(analytic.point_system_kernel(shape, pp))
+        l_fy, l_fx = fwhm_2d(analytic.line_system_kernel(shape, lp))
+
+        point_res = ModalitySweep(
+            image=pimg, fwhm_x=p_fx, fwhm_y=p_fy,
+            emitted_signal=(pp.brightness * exp_p
+                            * pdose.emission_per_unit_sample * sample_sum),
+            exposure=exp_p,
+            num_steps=pdose.num_steps,
+        )
+        line_res = ModalitySweep(
+            image=limg, fwhm_x=l_fx, fwhm_y=l_fy,
+            emitted_signal=(lp.brightness * exp_l * orientations
+                            * ldose.emission_per_unit_sample * sample_sum),
+            exposure=exp_l,
+            num_steps=ldose.num_steps * orientations,
+        )
+        return point_res, line_res
+
+    b = powers.shape[0]
+    if key is None:
+        point_res, line_res = jax.vmap(lambda s: one(s, None, None))(powers)
+    else:
+        kp, kl = jax.random.split(key)
+        point_res, line_res = jax.vmap(one)(
+            powers, jax.random.split(kp, b), jax.random.split(kl, b))
+    return DoseMatchedComparison(
+        depletion_powers=powers, dose_budget=budget,
+        point=point_res, line=line_res)

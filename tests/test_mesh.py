@@ -1,0 +1,76 @@
+"""Mesh-sharded execution tests on the virtual 8-device CPU mesh
+(SURVEY.md section 5.2.5: single-chip-safe distributed paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rescan_line_sted_tpu.config import (
+    Grid,
+    LineSTEDGeometry,
+    LineSTEDParams,
+    PointSTEDGeometry,
+    PointSTEDParams,
+)
+from rescan_line_sted_tpu.data import samples
+from rescan_line_sted_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from rescan_line_sted_tpu.sweeps import dose_matched_sweep
+
+
+SHAPE = (48, 48)
+SAMPLE = samples.siemens_star(SHAPE, spokes=8)
+PGEOM = PointSTEDGeometry(Grid(*SHAPE), chunk=48)
+LGEOM = LineSTEDGeometry(Grid(*SHAPE), chunk=16)
+PBASE = PointSTEDParams.create(brightness=1.0)
+LBASE = LineSTEDParams.create(brightness=1.0)
+
+
+def test_make_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_make_mesh_validates_sizes():
+    with pytest.raises(ValueError):
+        make_mesh({"batch": 3})  # 8 devices, not divisible
+
+
+def test_sharded_sweep_matches_unsharded():
+    powers = jnp.linspace(0.0, 8.0, 8)
+
+    def sweep(sample, p):
+        return dose_matched_sweep(sample, PBASE, LBASE, PGEOM, LGEOM, p, 100.0)
+
+    want = jax.jit(sweep)(SAMPLE, powers)
+
+    mesh = make_mesh({"batch": 8})
+    powers_sharded = shard_batch(mesh, powers)
+    sample_repl = replicate(mesh, SAMPLE)
+    got = jax.jit(sweep)(sample_repl, powers_sharded)
+    np.testing.assert_allclose(np.asarray(got.point.image),
+                               np.asarray(want.point.image),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.line.fwhm_x),
+                               np.asarray(want.line.fwhm_x), rtol=1e-5)
+    # result really is distributed over the batch axis
+    shd = got.point.image.sharding
+    assert shd.is_fully_replicated is False
+
+
+def test_spatially_sharded_fft_engine():
+    """Shard image rows over a 'space' axis: XLA inserts the FFT collectives."""
+    from rescan_line_sted_tpu.imaging import line_sted_image
+    mesh = make_mesh({"batch": 2, "space": 4})
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sample = jax.device_put(SAMPLE, NamedSharding(mesh, P("space", None)))
+    params = replicate(mesh, LBASE)
+    got = jax.jit(lambda s, p: line_sted_image(s, p, LGEOM).image)(
+        sample, params)
+    want = line_sted_image(SAMPLE, LBASE, LGEOM).image
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)

@@ -1,0 +1,83 @@
+"""Dose-matched sweep tests (C8; config 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rescan_line_sted_tpu.config import (
+    Grid,
+    LineSTEDGeometry,
+    LineSTEDParams,
+    PointSTEDGeometry,
+    PointSTEDParams,
+)
+from rescan_line_sted_tpu.data import samples
+from rescan_line_sted_tpu.physics.dose import line_sted_dose, point_sted_dose
+from rescan_line_sted_tpu.sweeps import dose_matched_sweep
+
+
+SHAPE = (48, 48)
+SAMPLE = samples.siemens_star(SHAPE, spokes=8)
+PGEOM = PointSTEDGeometry(Grid(*SHAPE), chunk=48)
+LGEOM = LineSTEDGeometry(Grid(*SHAPE), chunk=16)
+PBASE = PointSTEDParams.create(sigma_exc=2.0, sigma_det=2.0, sigma_dep=2.0,
+                               pinhole_radius=2.5, brightness=1.0)
+LBASE = LineSTEDParams.create(sigma_exc=2.0, sigma_det=2.0, stripe_period=8.0,
+                              slit_halfwidth=2.5, brightness=1.0)
+POWERS = jnp.asarray([0.0, 2.0, 8.0])
+
+
+def test_sweep_shapes_and_monotonic_resolution():
+    res = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM, POWERS,
+                             dose_budget=100.0, orientations=2)
+    assert res.point.image.shape == (3, *SHAPE)
+    assert res.line.image.shape == (3, *SHAPE)
+    # resolution improves (FWHM shrinks) with depletion power
+    fx = np.asarray(res.point.fwhm_x)
+    assert fx[0] > fx[1] > fx[2]
+    lx = np.asarray(res.line.fwhm_x)
+    assert lx[0] > lx[1] > lx[2]
+
+
+def test_dose_is_matched():
+    """exposure * total_dose == budget for every sweep point and modality."""
+    budget = 250.0
+    res = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM, POWERS,
+                             dose_budget=budget, orientations=3)
+    for i, s in enumerate(np.asarray(POWERS)):
+        pd = point_sted_dose(PBASE.replace(depletion=jnp.float32(s)), PGEOM)
+        ld = line_sted_dose(LBASE.replace(depletion=jnp.float32(s)), LGEOM)
+        np.testing.assert_allclose(
+            float(res.point.exposure[i]) * float(pd.total_dose), budget,
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            float(res.line.exposure[i]) * float(ld.total_dose) * 3, budget,
+            rtol=1e-5)
+
+
+def test_line_needs_fewer_steps():
+    res = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM, POWERS,
+                             dose_budget=100.0, orientations=2)
+    # line: W steps per orientation vs point: W*H
+    assert np.all(np.asarray(res.line.num_steps)
+                  < np.asarray(res.point.num_steps))
+
+
+def test_signal_decreases_with_depletion_at_fixed_dose():
+    """More depletion power burns budget without adding signal."""
+    res = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM, POWERS,
+                             dose_budget=100.0)
+    sig = np.asarray(res.point.emitted_signal)
+    assert sig[0] > sig[1] > sig[2]
+
+
+def test_sweep_jits_as_one_program_with_noise():
+    f = jax.jit(lambda powers, key: dose_matched_sweep(
+        SAMPLE, PBASE, LBASE, PGEOM, LGEOM, powers, 100.0, key=key))
+    res = f(POWERS, jax.random.key(0))
+    assert np.isfinite(np.asarray(res.point.image)).all()
+    assert np.isfinite(np.asarray(res.line.image)).all()
+    # determinism: same key -> identical result
+    res2 = f(POWERS, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(res.line.image),
+                                  np.asarray(res2.line.image))
