@@ -1,0 +1,104 @@
+"""Command-line interface (SURVEY.md section 6, "Config / flag system").
+
+The reference hard-codes its parameters inside per-figure scripts; this CLI
+maps flags onto the config dataclasses and runs the figure-equivalent
+pipelines::
+
+    python -m rescan_line_sted_tpu figure comparison --out out/
+    python -m rescan_line_sted_tpu figure all --size 256 --out out/
+    python -m rescan_line_sted_tpu psf-report --depletion 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+
+def _figure(args) -> None:
+    from rescan_line_sted_tpu.pipelines import (
+        comparison_pipeline,
+        dose_sweep_pipeline,
+        fusion_pipeline,
+        rescan_pipeline,
+    )
+
+    runners = {
+        "comparison": lambda: comparison_pipeline(
+            args.out, size=args.size, depletion=args.depletion,
+            dose_budget=args.dose_budget, seed=args.seed),
+        "sweep": lambda: dose_sweep_pipeline(
+            args.out, size=args.size, num_powers=args.num_powers,
+            max_power=args.max_power, dose_budget=args.dose_budget,
+            seed=args.seed),
+        "fusion": lambda: fusion_pipeline(
+            args.out, size=args.size, num_angles=args.num_angles,
+            depletion=args.depletion, rl_iters=args.rl_iters,
+            seed=args.seed),
+        "rescan": lambda: rescan_pipeline(
+            args.out, size=args.size, depletion=args.depletion,
+            seed=args.seed),
+    }
+    names = list(runners) if args.which == "all" else [args.which]
+    for name in names:
+        metrics = runners[name]()
+        print(json.dumps(metrics, default=float))
+
+
+def _psf_report(args) -> None:
+    from rescan_line_sted_tpu.algorithms.metrics import system_resolution_report
+    from rescan_line_sted_tpu.config import LineSTEDParams, PointSTEDParams
+
+    shape = (args.size, args.size)
+    point = system_resolution_report(shape, PointSTEDParams.create(
+        depletion=args.depletion))
+    line = system_resolution_report(shape, LineSTEDParams.create(
+        depletion=args.depletion))
+    print(json.dumps({
+        "depletion": args.depletion,
+        "point_fwhm_x": float(point.fwhm_x),
+        "point_fwhm_y": float(point.fwhm_y),
+        "line_fwhm_x": float(line.fwhm_x),
+        "line_fwhm_y": float(line.fwhm_y),
+    }))
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    parser = argparse.ArgumentParser(prog="rescan_line_sted_tpu")
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force a JAX backend (default: environment's choice)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    fig = sub.add_parser("figure", help="run a figure-equivalent pipeline")
+    fig.add_argument("which", choices=["comparison", "sweep", "fusion",
+                                       "rescan", "all"])
+    fig.add_argument("--out", default="out")
+    fig.add_argument("--size", type=int, default=256)
+    fig.add_argument("--depletion", type=float, default=8.0)
+    fig.add_argument("--dose-budget", type=float, default=100.0)
+    fig.add_argument("--num-powers", type=int, default=16)
+    fig.add_argument("--max-power", type=float, default=16.0)
+    fig.add_argument("--num-angles", type=int, default=4)
+    fig.add_argument("--rl-iters", type=int, default=50)
+    fig.add_argument("--seed", type=int, default=0)
+    fig.set_defaults(func=_figure)
+
+    rep = sub.add_parser("psf-report", help="print system-kernel resolutions")
+    rep.add_argument("--size", type=int, default=128)
+    rep.add_argument("--depletion", type=float, default=8.0)
+    rep.set_defaults(func=_psf_report)
+
+    args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

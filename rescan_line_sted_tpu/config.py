@@ -141,7 +141,7 @@ class PointSTEDParams:
     brightness: jnp.ndarray
 
     @classmethod
-    def create(cls, sigma_exc=2.0, sigma_det=2.0, sigma_dep=2.0,
+    def create(cls, sigma_exc=3.0, sigma_det=3.0, sigma_dep=3.0,
                depletion=0.0, pinhole_radius=4.0, brightness=100.0):
         return cls(_f(sigma_exc), _f(sigma_det), _f(sigma_dep),
                    _f(depletion), _f(pinhole_radius), _f(brightness))
@@ -171,7 +171,7 @@ class LineSTEDParams:
     brightness: jnp.ndarray
 
     @classmethod
-    def create(cls, sigma_exc=2.0, sigma_det=2.0, stripe_period=8.0,
+    def create(cls, sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
                depletion=0.0, slit_halfwidth=4.0, brightness=100.0):
         return cls(_f(sigma_exc), _f(sigma_det), _f(stripe_period),
                    _f(depletion), _f(slit_halfwidth), _f(brightness))

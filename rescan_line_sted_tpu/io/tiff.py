@@ -1,0 +1,109 @@
+"""Minimal pure-numpy TIFF I/O (component C13, SURVEY.md section 3).
+
+The reference ships a small TIFF helper (``np_tif.py``-style,
+``tif_to_array`` / ``array_to_tif``) for figure intermediates. This is an
+independent minimal implementation of the same capability: baseline
+little-endian TIFF, grayscale, single image ``[H, W]`` or stack ``[N, H, W]``,
+uint8/uint16/float32/float64, uncompressed, one strip per page. Host-side and
+not performance-critical (device arrays are pulled to host first).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_SAMPLE_FORMAT = {  # TIFF tag 339
+    np.dtype(np.uint8): 1,
+    np.dtype(np.uint16): 1,
+    np.dtype(np.float32): 3,
+    np.dtype(np.float64): 3,
+}
+
+_TYPE_SHORT, _TYPE_LONG = 3, 4
+
+
+def _entry(tag: int, typ: int, count: int, value: int) -> bytes:
+    return struct.pack("<HHII", tag, typ, count, value)
+
+
+def array_to_tif(arr: np.ndarray, path: str) -> None:
+    """Write ``[H, W]`` or ``[N, H, W]`` grayscale array as a (multi-page) TIFF."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[None]
+    if arr.ndim != 3:
+        raise ValueError(f"expected [H,W] or [N,H,W], got shape {arr.shape}")
+    if arr.dtype not in _SAMPLE_FORMAT:
+        arr = arr.astype(np.float32)
+    n, h, w = arr.shape
+    bps = arr.dtype.itemsize * 8
+    fmt = _SAMPLE_FORMAT[arr.dtype]
+    page_bytes = h * w * arr.dtype.itemsize
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, 8))  # header, first IFD at 8
+        offset = 8
+        for i in range(n):
+            # IFD: count + 9 entries + next pointer
+            n_entries = 9
+            ifd_size = 2 + n_entries * 12 + 4
+            data_offset = offset + ifd_size
+            next_ifd = data_offset + page_bytes if i + 1 < n else 0
+            entries = [
+                _entry(256, _TYPE_LONG, 1, w),            # ImageWidth
+                _entry(257, _TYPE_LONG, 1, h),            # ImageLength
+                _entry(258, _TYPE_SHORT, 1, bps),         # BitsPerSample
+                _entry(259, _TYPE_SHORT, 1, 1),           # Compression: none
+                _entry(262, _TYPE_SHORT, 1, 1),           # Photometric: minIsBlack
+                _entry(273, _TYPE_LONG, 1, data_offset),  # StripOffsets
+                _entry(278, _TYPE_LONG, 1, h),            # RowsPerStrip
+                _entry(279, _TYPE_LONG, 1, page_bytes),   # StripByteCounts
+                _entry(339, _TYPE_SHORT, 1, fmt),         # SampleFormat
+            ]
+            f.write(struct.pack("<H", n_entries))
+            f.write(b"".join(entries))
+            f.write(struct.pack("<I", next_ifd))
+            f.write(arr[i].astype(arr.dtype, copy=False).tobytes("C"))
+            offset = next_ifd if next_ifd else offset
+
+
+def _read_value(buf: bytes, typ: int, count: int, raw: bytes) -> int:
+    if typ == _TYPE_SHORT:
+        return struct.unpack("<H", raw[:2])[0]
+    return struct.unpack("<I", raw[:4])[0]
+
+
+def tif_to_array(path: str) -> np.ndarray:
+    """Read a TIFF written by :func:`array_to_tif` (and similar baseline
+    grayscale TIFFs). Returns ``[H, W]`` for single page, ``[N, H, W]`` else.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    order, magic, ifd_off = struct.unpack("<2sHI", buf[:8])
+    if order != b"II" or magic != 42:
+        raise ValueError("not a little-endian baseline TIFF")
+    pages = []
+    while ifd_off:
+        (n_entries,) = struct.unpack("<H", buf[ifd_off:ifd_off + 2])
+        tags = {}
+        for k in range(n_entries):
+            base = ifd_off + 2 + 12 * k
+            tag, typ, count = struct.unpack("<HHI", buf[base:base + 8])
+            tags[tag] = _read_value(buf, typ, count, buf[base + 8:base + 12])
+        (ifd_off,) = struct.unpack(
+            "<I", buf[ifd_off + 2 + 12 * n_entries:][:4])
+        w, h = tags[256], tags[257]
+        bps = tags.get(258, 8)
+        fmt = tags.get(339, 1)
+        if tags.get(259, 1) != 1:
+            raise ValueError("compressed TIFFs not supported")
+        dtype = {(1, 8): np.uint8, (1, 16): np.uint16,
+                 (3, 32): np.float32, (3, 64): np.float64}[(fmt, bps)]
+        start = tags[273]
+        nbytes = h * w * np.dtype(dtype).itemsize
+        page = np.frombuffer(buf[start:start + nbytes], dtype=dtype)
+        pages.append(page.reshape(h, w))
+    out = np.stack(pages)
+    return out[0] if out.shape[0] == 1 else out

@@ -1,0 +1,254 @@
+"""Figure-equivalent end-to-end pipelines (components C14/L3).
+
+The reference's entry points are per-figure scripts that run the simulation
+and write the paper's images (SURVEY.md section 2.1, L3). Here each pipeline
+is a library function: the device computes arrays (one jitted program where
+possible), the host renders TIFF (``io/tiff.py``) and PNG (matplotlib)
+artifacts and returns a metrics dict (SURVEY.md section 6, observability).
+
+Pipelines:
+
+* ``comparison_pipeline``  -- point vs line STED at matched dose (fig-1/2
+  class): acquisitions at several depletion powers, side by side.
+* ``dose_sweep_pipeline``  -- the dose-matched resolution/signal tradeoff
+  curves (call stack 4.4), with chunked checkpoint/resume.
+* ``fusion_pipeline``      -- multi-orientation line-STED + Richardson-Lucy
+  isotropic fusion (call stack 4.5).
+* ``rescan_pipeline``      -- rescanned line-STED canvas formation and
+  descan-vs-rescan comparison (call stack 4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rescan_line_sted_tpu.algorithms import richardson_lucy_views
+from rescan_line_sted_tpu.algorithms.metrics import fwhm_2d
+from rescan_line_sted_tpu.config import (
+    Grid,
+    LineSTEDGeometry,
+    LineSTEDParams,
+    PointSTEDGeometry,
+    PointSTEDParams,
+    RescanGeometry,
+)
+from rescan_line_sted_tpu.data import samples
+from rescan_line_sted_tpu.imaging import (
+    line_sted_image,
+    point_sted_image,
+    rescanned_line_sted_image,
+)
+from rescan_line_sted_tpu.imaging.orientations import multi_orientation_line_sted
+from rescan_line_sted_tpu.io import SweepCheckpoint, array_to_tif
+from rescan_line_sted_tpu.sweeps import dose_matched_sweep
+from rescan_line_sted_tpu.utils.observability import emit_metrics
+
+
+def _default_sample(size: int) -> jnp.ndarray:
+    return samples.siemens_star((size, size))
+
+
+def _save_panels(out_dir: str, name: str, panels: dict[str, np.ndarray]):
+    os.makedirs(out_dir, exist_ok=True)
+    for key, img in panels.items():
+        array_to_tif(np.asarray(img, np.float32),
+                     os.path.join(out_dir, f"{name}_{key}.tif"))
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover - matplotlib is baked in
+        return
+    n = len(panels)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4))
+    if n == 1:
+        axes = [axes]
+    for ax, (key, img) in zip(axes, panels.items()):
+        ax.imshow(np.asarray(img), cmap="magma")
+        ax.set_title(key)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, f"{name}.png"), dpi=120)
+    plt.close(fig)
+
+
+def comparison_pipeline(out_dir: str, size: int = 256, depletion: float = 8.0,
+                        dose_budget: float = 100.0, seed: int = 0) -> dict:
+    """Point vs line STED at equal photodose, confocal baseline included."""
+    grid = Grid(size, size)
+    sample = _default_sample(size)
+    pgeom, lgeom = PointSTEDGeometry(grid), LineSTEDGeometry(grid)
+    pbase = PointSTEDParams.create(brightness=1.0)
+    lbase = LineSTEDParams.create(brightness=1.0)
+    powers = jnp.asarray([0.0, depletion])
+    res = jax.jit(
+        lambda p, k: dose_matched_sweep(
+            sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k)
+    )(powers, jax.random.key(seed))
+    panels = {
+        "sample": sample,
+        "point_confocal": res.point.image[0],
+        "point_sted": res.point.image[1],
+        "line_confocal": res.line.image[0],
+        "line_sted": res.line.image[1],
+    }
+    _save_panels(out_dir, "comparison", panels)
+    metrics = {
+        "pipeline": "comparison",
+        "point_fwhm_x": float(res.point.fwhm_x[1]),
+        "line_fwhm_x": float(res.line.fwhm_x[1]),
+        "point_steps": float(res.point.num_steps[1]),
+        "line_steps": float(res.line.num_steps[1]),
+        "point_signal": float(res.point.emitted_signal[1]),
+        "line_signal": float(res.line.emitted_signal[1]),
+    }
+    emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
+    return metrics
+
+
+def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
+                        max_power: float = 16.0, dose_budget: float = 100.0,
+                        seed: int = 0, chunk: int = 4,
+                        orientations: int = 2) -> dict:
+    """Full dose-matched sweep with per-chunk checkpoint/resume."""
+    grid = Grid(size, size)
+    sample = _default_sample(size)
+    pgeom, lgeom = PointSTEDGeometry(grid), LineSTEDGeometry(grid)
+    pbase = PointSTEDParams.create(brightness=1.0)
+    lbase = LineSTEDParams.create(brightness=1.0)
+    powers = jnp.linspace(0.0, max_power, num_powers)
+
+    run = jax.jit(lambda p, k: dose_matched_sweep(
+        sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
+        orientations=orientations))
+
+    ckpt = SweepCheckpoint(os.path.join(out_dir, "sweep_ckpt"))
+    ckpt.write_meta(size=size, num_powers=num_powers, max_power=max_power,
+                    dose_budget=dose_budget, seed=seed, chunk=chunk)
+    results, example = [], None
+    keys = jax.random.split(jax.random.key(seed), num_powers // chunk)
+    for i in range(num_powers // chunk):
+        chunk_powers = powers[i * chunk:(i + 1) * chunk]
+        if example is None:
+            example = jax.eval_shape(run, chunk_powers, keys[i])
+            example = jax.tree.map(
+                lambda s: np.zeros(s.shape, s.dtype), example)
+        if ckpt.has(i):
+            results.append(ckpt.load(i, like=example))
+        else:
+            out = jax.tree.map(np.asarray, run(chunk_powers, keys[i]))
+            ckpt.save(i, out)
+            results.append(out)
+    merged = jax.tree.map(
+        lambda *xs: np.concatenate(xs) if np.ndim(xs[0]) else xs[0], *results)
+
+    _save_panels(out_dir, "dose_sweep_images", {
+        "point_s0": merged.point.image[0],
+        "point_smax": merged.point.image[-1],
+        "line_s0": merged.line.image[0],
+        "line_smax": merged.line.image[-1],
+    })
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+        p = np.asarray(merged.depletion_powers)
+        ax1.plot(p, np.asarray(merged.point.fwhm_x), label="point STED")
+        ax1.plot(p, np.asarray(merged.line.fwhm_x), label="line STED (scan axis)")
+        ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
+        ax1.legend(), ax1.set_title("resolution at matched dose")
+        ax2.plot(p, np.asarray(merged.point.emitted_signal), label="point")
+        ax2.plot(p, np.asarray(merged.line.emitted_signal), label="line")
+        ax2.set_xlabel("depletion power s"), ax2.set_ylabel("emitted signal")
+        ax2.legend(), ax2.set_title("signal at matched dose")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "dose_sweep.png"), dpi=120)
+        plt.close(fig)
+    except ImportError:  # pragma: no cover
+        pass
+
+    metrics = {
+        "pipeline": "dose_sweep",
+        "num_powers": num_powers,
+        "point_fwhm_x_at_smax": float(merged.point.fwhm_x[-1]),
+        "line_fwhm_x_at_smax": float(merged.line.fwhm_x[-1]),
+        "line_to_point_step_ratio": float(merged.line.num_steps[0]
+                                          / merged.point.num_steps[0]),
+    }
+    emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
+    return metrics
+
+
+def fusion_pipeline(out_dir: str, size: int = 256, num_angles: int = 4,
+                    depletion: float = 8.0, rl_iters: int = 50,
+                    seed: int = 0) -> dict:
+    """Multi-orientation line-STED acquisition + RL fusion (config 5)."""
+    grid = Grid(size, size)
+    sample = _default_sample(size)
+    lgeom = LineSTEDGeometry(grid)
+    params = LineSTEDParams.create(depletion=depletion, brightness=200.0)
+    angles = jnp.arange(num_angles) * (jnp.pi / num_angles)
+
+    @jax.jit
+    def run(key):
+        views, kernels = multi_orientation_line_sted(
+            sample, params, lgeom, angles, key=key)
+        fused = richardson_lucy_views(views, kernels, num_iter=rl_iters)
+        return views, kernels, fused
+
+    views, kernels, fused = run(jax.random.key(seed))
+    _save_panels(out_dir, "fusion", {
+        "sample": sample,
+        "view_0deg": views[0],
+        f"view_{int(180 // num_angles)}deg": views[1],
+        "fused_rl": fused,
+    })
+    ky, kx = fwhm_2d(kernels[0])
+    metrics = {
+        "pipeline": "fusion",
+        "num_angles": num_angles,
+        "rl_iters": rl_iters,
+        "view_kernel_fwhm_x": float(kx),
+        "view_kernel_fwhm_y": float(ky),
+    }
+    emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
+    return metrics
+
+
+def rescan_pipeline(out_dir: str, size: int = 256, depletion: float = 8.0,
+                    rescan_factor: float = 2.0, seed: int = 0) -> dict:
+    """Rescanned line-STED canvas formation, descan comparison."""
+    grid = Grid(size, size)
+    sample = _default_sample(size)
+    lgeom = LineSTEDGeometry(grid)
+    rgeom = RescanGeometry(grid, rescan_factor=rescan_factor)
+    params = LineSTEDParams.create(depletion=depletion, brightness=200.0)
+    key = jax.random.key(seed)
+
+    @jax.jit
+    def run(key):
+        k1, k2 = jax.random.split(key)
+        descan = line_sted_image(sample, params, lgeom, key=k1).image
+        rescan = rescanned_line_sted_image(sample, params, rgeom, key=k2).image
+        return descan, rescan
+
+    descan, rescan = run(key)
+    _save_panels(out_dir, "rescan", {
+        "sample": sample,
+        "descanned": descan,
+        "rescanned_canvas": rescan,
+    })
+    metrics = {
+        "pipeline": "rescan",
+        "canvas_shape": list(rescan.shape),
+        "rescan_factor": rescan_factor,
+        "descan_sum": float(jnp.sum(descan)),
+        "rescan_sum": float(jnp.sum(rescan)),
+    }
+    emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
+    return metrics

@@ -1,0 +1,82 @@
+"""TIFF + checkpoint I/O tests (C13; aux subsystems)."""
+
+import numpy as np
+import pytest
+
+from rescan_line_sted_tpu.io import (
+    SweepCheckpoint,
+    array_to_tif,
+    load_state,
+    save_state,
+    tif_to_array,
+)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.uint16, np.uint8])
+def test_tiff_roundtrip_single(tmp_path, dtype):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.integer):
+        arr = rng.integers(0, np.iinfo(dtype).max, size=(17, 23)).astype(dtype)
+    else:
+        arr = rng.uniform(size=(17, 23)).astype(dtype)
+    path = str(tmp_path / "x.tif")
+    array_to_tif(arr, path)
+    back = tif_to_array(path)
+    assert back.dtype == dtype
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_tiff_roundtrip_stack(tmp_path):
+    arr = np.random.default_rng(1).uniform(size=(5, 8, 12)).astype(np.float32)
+    path = str(tmp_path / "stack.tif")
+    array_to_tif(arr, path)
+    back = tif_to_array(path)
+    assert back.shape == (5, 8, 12)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_tiff_rejects_garbage(tmp_path):
+    path = str(tmp_path / "bad.tif")
+    with open(path, "wb") as f:
+        f.write(b"MM\x00\x99 not a tiff")
+    with pytest.raises(ValueError):
+        tif_to_array(path)
+
+
+def test_state_roundtrip(tmp_path):
+    tree = {"a": np.arange(5.0), "b": (np.ones((2, 3)), np.int32(7))}
+    path = str(tmp_path / "state.npz")
+    save_state(path, tree)
+    back = load_state(path, tree)
+    np.testing.assert_array_equal(back["a"], tree["a"])
+    np.testing.assert_array_equal(back["b"][0], tree["b"][0])
+    assert back["b"][1] == 7
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    ckpt = SweepCheckpoint(str(tmp_path / "ck"))
+    example = {"x": np.zeros(3)}
+    calls = []
+
+    def run_all():
+        out = []
+        for i in range(4):
+            if ckpt.has(i):
+                out.append(ckpt.load(i, like=example))
+                continue
+            calls.append(i)
+            res = {"x": np.full(3, float(i))}
+            ckpt.save(i, res)
+            out.append(res)
+        return out
+
+    first = run_all()
+    assert calls == [0, 1, 2, 3]
+    second = run_all()          # resumes: no recomputation
+    assert calls == [0, 1, 2, 3]
+    assert ckpt.completed() == [0, 1, 2, 3]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+    ckpt.write_meta(n=4)
+    assert ckpt.read_meta() == {"n": 4}

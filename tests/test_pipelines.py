@@ -1,0 +1,61 @@
+"""End-to-end pipeline + CLI tests on tiny grids (configs 1-5)."""
+
+import json
+import os
+
+import numpy as np
+
+from rescan_line_sted_tpu.cli import main as cli_main
+from rescan_line_sted_tpu.io import tif_to_array
+from rescan_line_sted_tpu.pipelines import (
+    comparison_pipeline,
+    dose_sweep_pipeline,
+    fusion_pipeline,
+    rescan_pipeline,
+)
+
+
+def test_comparison_pipeline(tmp_path):
+    m = comparison_pipeline(str(tmp_path), size=48, dose_budget=50.0)
+    assert m["line_steps"] < m["point_steps"]
+    img = tif_to_array(str(tmp_path / "comparison_point_sted.tif"))
+    assert img.shape == (48, 48)
+    assert os.path.exists(tmp_path / "comparison.png")
+    assert os.path.exists(tmp_path / "metrics.jsonl")
+
+
+def test_dose_sweep_pipeline_checkpoints_and_resumes(tmp_path):
+    kwargs = dict(size=48, num_powers=4, chunk=2, dose_budget=50.0)
+    m1 = dose_sweep_pipeline(str(tmp_path), **kwargs)
+    # delete one artifact, rerun: resumes from checkpoints, same metrics
+    m2 = dose_sweep_pipeline(str(tmp_path), **kwargs)
+    assert m1["point_fwhm_x_at_smax"] == m2["point_fwhm_x_at_smax"]
+    # 2 orientations * W line steps vs W*W point steps
+    np.testing.assert_allclose(m1["line_to_point_step_ratio"], 2.0 / 48,
+                               rtol=1e-6)
+
+
+def test_fusion_pipeline(tmp_path):
+    m = fusion_pipeline(str(tmp_path), size=48, num_angles=2, rl_iters=10)
+    fused = tif_to_array(str(tmp_path / "fusion_fused_rl.tif"))
+    assert np.isfinite(fused).all()
+    assert m["view_kernel_fwhm_x"] < m["view_kernel_fwhm_y"]
+
+
+def test_rescan_pipeline(tmp_path):
+    m = rescan_pipeline(str(tmp_path), size=48)
+    canvas = tif_to_array(str(tmp_path / "rescan_rescanned_canvas.tif"))
+    assert canvas.shape == (48, 96)
+    assert m["canvas_shape"] == [48, 96]
+
+
+def test_cli_figure_and_psf_report(tmp_path, capsys):
+    cli_main(["figure", "comparison", "--out", str(tmp_path / "f"),
+              "--size", "48", "--dose-budget", "50"])
+    out = capsys.readouterr().out.strip().splitlines()
+    metrics = json.loads(out[-1])
+    assert metrics["pipeline"] == "comparison"
+
+    cli_main(["psf-report", "--size", "64", "--depletion", "8"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["point_fwhm_x"] < rep["line_fwhm_y"]
