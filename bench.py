@@ -1,0 +1,172 @@
+"""Benchmark harness: the BASELINE.json metrics on real hardware.
+
+Measures, on the attached TPU chip:
+
+1. **scan-steps/sec/chip** for the 2D line-STED *scan-path* simulation
+   (the reference's per-scan-position hot loop, compiled as a lax.scan);
+2. **end-to-end dose-matched point-vs-line sweep wall-clock** vs the CPU
+   float64 numpy oracle (``tests/oracle``), which implements the reference's
+   loop-per-scan-position algorithm -- the >=100x north-star denominator.
+
+The oracle's point-STED cost is measured on a subset of scan positions and
+scaled linearly (every step does identical-shape work); the TPU side is
+measured in full with compile time excluded (first-call compile through the
+axon tunnel is minutes and is reported separately in details).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from rescan_line_sted_tpu.config import (  # noqa: E402
+    Grid,
+    LineSTEDGeometry,
+    LineSTEDParams,
+    PointSTEDGeometry,
+    PointSTEDParams,
+)
+from rescan_line_sted_tpu.data import samples  # noqa: E402
+from rescan_line_sted_tpu.imaging import line_sted_image  # noqa: E402
+from rescan_line_sted_tpu.sweeps import dose_matched_sweep  # noqa: E402
+from tests.oracle import oracle  # noqa: E402
+
+# ---- benchmark configuration -------------------------------------------
+SCAN_SIZE = 512          # line-STED scan benchmark grid
+SWEEP_SIZE = 256         # dose-sweep grid (TPU and oracle, same shapes)
+SWEEP_POWERS = 8         # sweep points
+ORACLE_POINT_STEPS = 512   # oracle point-STED steps measured (of SIZE^2)
+ORACLE_LINE_STEPS = 64     # oracle line-STED steps measured (of SIZE)
+
+POINT_KW = dict(sigma_exc=3.0, sigma_det=3.0, sigma_dep=3.0,
+                pinhole_radius=4.0, brightness=1.0)
+LINE_KW = dict(sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
+               slit_halfwidth=4.0, brightness=1.0)
+
+
+def bench_scan_steps_per_sec():
+    grid = Grid(SCAN_SIZE, SCAN_SIZE)
+    geom = LineSTEDGeometry(grid, chunk=64)
+    sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
+    params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+
+    fn = jax.jit(lambda s, k: line_sted_image(
+        s, params, geom, key=k, method="scan").image)
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(sample, key))
+    compile_s = time.perf_counter() - t0
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(sample, jax.random.key(i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return SCAN_SIZE / dt, compile_s, dt
+
+
+def bench_tpu_sweep():
+    grid = Grid(SWEEP_SIZE, SWEEP_SIZE)
+    pgeom, lgeom = PointSTEDGeometry(grid), LineSTEDGeometry(grid)
+    sample = samples.siemens_star((SWEEP_SIZE, SWEEP_SIZE))
+    pbase = PointSTEDParams.create(**POINT_KW)
+    lbase = LineSTEDParams.create(**LINE_KW)
+    powers = jnp.linspace(0.0, 16.0, SWEEP_POWERS)
+
+    fn = jax.jit(lambda p, k: dose_matched_sweep(
+        sample, pbase, lbase, pgeom, lgeom, p, 100.0, key=k))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(powers, jax.random.key(0)))
+    compile_s = time.perf_counter() - t0
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(powers, jax.random.key(i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, compile_s
+
+
+def bench_oracle_sweep():
+    """Per-sweep-point oracle cost, from timed per-step costs (see module doc)."""
+    n = SWEEP_SIZE
+    sample = np.asarray(samples.siemens_star((n, n)), np.float64)
+    rng = np.random.default_rng(0)
+
+    # --- point-STED: time a subset of scan positions ---
+    shape = sample.shape
+    exc = oracle.gaussian_psf(shape, POINT_KW["sigma_exc"])
+    dep = oracle.donut_psf(shape, POINT_KW["sigma_dep"])
+    eff = oracle.effective_psf(exc, dep, 8.0)
+    det = oracle.detection_psf(shape, POINT_KW["sigma_det"])
+    pin = oracle.pinhole_mask(shape, POINT_KW["pinhole_radius"])
+    t0 = time.perf_counter()
+    for step in range(ORACLE_POINT_STEPS):
+        y0, x0 = step // n, step % n
+        ill = oracle.shift_to(eff, y0, x0)
+        cam = oracle.fft_convolve(sample * ill, det)
+        cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
+        _ = np.sum(cam * oracle.shift_to(pin, y0, x0))
+    point_per_step = (time.perf_counter() - t0) / ORACLE_POINT_STEPS
+
+    # --- line-STED: time a subset of column positions ---
+    excl = oracle.line_excitation_profile(n, LINE_KW["sigma_exc"])
+    depl = oracle.stripe_depletion_profile(n, LINE_KW["stripe_period"])
+    effl = oracle.effective_psf(excl, depl, 8.0)
+    slit = oracle.slit_profile(n, LINE_KW["slit_halfwidth"])
+    t0 = time.perf_counter()
+    for x0 in range(ORACLE_LINE_STEPS):
+        ill = oracle.shift_profile_to(effl, x0)[None, :]
+        cam = oracle.fft_convolve(sample * ill, det)
+        cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
+        _ = cam @ oracle.shift_profile_to(slit, x0)
+    line_per_step = (time.perf_counter() - t0) / ORACLE_LINE_STEPS
+
+    per_point = n * n * point_per_step + n * line_per_step
+    return per_point * SWEEP_POWERS, point_per_step, line_per_step
+
+
+def main():
+    assert jax.devices(), "no devices"
+    backend = jax.default_backend()
+
+    steps_per_sec, scan_compile_s, scan_dt = bench_scan_steps_per_sec()
+    tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
+    oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
+    speedup = oracle_sweep_s / tpu_sweep_s
+
+    print(json.dumps({
+        "metric": "e2e_dose_sweep_speedup_vs_cpu_numpy",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup, 2),
+        "details": {
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+            "tpu_sweep_wall_s": round(tpu_sweep_s, 4),
+            "oracle_sweep_wall_s_extrapolated": round(oracle_sweep_s, 2),
+            "oracle_point_step_s": round(pt_step, 6),
+            "oracle_line_step_s": round(ln_step, 6),
+            "sweep_config": f"{SWEEP_POWERS} powers, {SWEEP_SIZE}^2, "
+                            "point+line, Poisson noise",
+            "line_sted_scan_steps_per_sec_chip": round(steps_per_sec, 1),
+            "line_sted_scan_size": SCAN_SIZE,
+            "scan_wall_s_per_image": round(scan_dt, 4),
+            "compile_s": {"scan": round(scan_compile_s, 1),
+                          "sweep": round(sweep_compile_s, 1)},
+            "north_star_target_x": 100.0,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
