@@ -52,14 +52,14 @@ LINE_KW = dict(sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
                slit_halfwidth=4.0, brightness=1.0)
 
 
-def bench_scan_steps_per_sec():
+def bench_scan_steps_per_sec(noise_mode: str):
     grid = Grid(SCAN_SIZE, SCAN_SIZE)
-    geom = LineSTEDGeometry(grid, chunk=64)
+    geom = LineSTEDGeometry(grid, chunk=32)
     sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
     params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
 
     fn = jax.jit(lambda s, k: line_sted_image(
-        s, params, geom, key=k, method="scan").image)
+        s, params, geom, key=k, method="scan", noise_mode=noise_mode).image)
     key = jax.random.key(0)
     t0 = time.perf_counter()
     jax.block_until_ready(fn(sample, key))
@@ -139,7 +139,9 @@ def main():
     assert jax.devices(), "no devices"
     backend = jax.default_backend()
 
-    steps_per_sec, scan_compile_s, scan_dt = bench_scan_steps_per_sec()
+    steps_per_sec, scan_compile_s, scan_dt = bench_scan_steps_per_sec(
+        "collapsed")
+    steps_per_sec_ps, _, _ = bench_scan_steps_per_sec("per_step")
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
     speedup = oracle_sweep_s / tpu_sweep_s
@@ -159,6 +161,8 @@ def main():
             "sweep_config": f"{SWEEP_POWERS} powers, {SWEEP_SIZE}^2, "
                             "point+line, Poisson noise",
             "line_sted_scan_steps_per_sec_chip": round(steps_per_sec, 1),
+            "line_sted_scan_steps_per_sec_chip_per_step_noise":
+                round(steps_per_sec_ps, 1),
             "line_sted_scan_size": SCAN_SIZE,
             "scan_wall_s_per_image": round(scan_dt, 4),
             "compile_s": {"scan": round(scan_compile_s, 1),

@@ -28,12 +28,20 @@ def line_sted_image(
     geom: LineSTEDGeometry,
     key: jax.Array | None = None,
     method: str = "analytic",
+    noise_mode: str = "collapsed",
 ) -> AcquisitionResult:
-    """Simulate a full descanned line-STED acquisition of ``sample``."""
+    """Simulate a full descanned line-STED acquisition of ``sample``.
+
+    ``noise_mode`` (scan path only): ``"collapsed"`` draws shot noise once
+    from the accumulated detected mean -- statistically identical to
+    per-camera-pixel draws because detection only *adds* independent Poisson
+    variables (see ``physics/noise.py``) and ~4x faster; ``"per_step"``
+    samples every camera frame like the reference's loop does.
+    """
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
-        image = _scan(sample, params, geom, key)
+        image = _scan(sample, params, geom, key, noise_mode)
     else:
         raise ValueError(f"unknown method {method!r}")
     return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
@@ -52,23 +60,26 @@ def _analytic(sample, params, geom, key):
     return maybe_poisson(key, mean)
 
 
-def _scan(sample, params, geom, key):
+def _scan(sample, params, geom, key, noise_mode="collapsed"):
+    if noise_mode not in ("collapsed", "per_step"):
+        raise ValueError(f"unknown noise_mode {noise_mode!r}")
     shape = geom.grid.shape
     h, w = shape
     chunk = geom.chunk
     if w % chunk:
         raise ValueError("chunk must divide width")
     n_chunks = w // chunk
+    per_step = key is not None and noise_mode == "per_step"
 
     eff = effective_line_profile(w, params)
     det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
     slit = psfs.slit_profile(w, params.slit_halfwidth)
 
     positions = jnp.arange(w).reshape(n_chunks, chunk)
-    xs = positions if key is None else (positions, jax.random.split(key, n_chunks))
+    xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
 
     def body(img, chunk_in):
-        pos, k = (chunk_in, None) if key is None else chunk_in
+        pos, k = chunk_in if per_step else (chunk_in, None)
         ill = shifted_profiles(eff, pos)                         # [C, W]
         emitted = ill[:, None, :] * sample[None]                 # [C, H, W]
         cam = maybe_poisson(
@@ -79,4 +90,6 @@ def _scan(sample, params, geom, key):
 
     init = jnp.zeros(shape, jnp.float32)
     img, _ = jax.lax.scan(body, init, xs)
+    if key is not None and noise_mode == "collapsed":
+        img = maybe_poisson(key, img)
     return img

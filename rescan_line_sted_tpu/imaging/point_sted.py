@@ -39,15 +39,20 @@ def point_sted_image(
     geom: PointSTEDGeometry,
     key: jax.Array | None = None,
     method: str = "analytic",
+    noise_mode: str = "collapsed",
 ) -> AcquisitionResult:
     """Simulate a full descanned point-STED acquisition of ``sample``.
 
-    ``key=None`` returns the noise-free expected image.
+    ``key=None`` returns the noise-free expected image. ``noise_mode`` (scan
+    path): ``"collapsed"`` draws shot noise once from the detected mean --
+    statistically identical to per-camera-pixel draws (pinhole sums of
+    independent Poissons are Poisson; see ``physics/noise.py``);
+    ``"per_step"`` samples every camera frame like the reference's loop.
     """
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
-        image = _scan(sample, params, geom, key)
+        image = _scan(sample, params, geom, key, noise_mode)
     else:
         raise ValueError(f"unknown method {method!r}")
     return AcquisitionResult(image=image, dose=point_sted_dose(params, geom))
@@ -59,7 +64,9 @@ def _analytic(sample, params, geom, key):
     return maybe_poisson(key, mean)
 
 
-def _scan(sample, params, geom, key):
+def _scan(sample, params, geom, key, noise_mode="collapsed"):
+    if noise_mode not in ("collapsed", "per_step"):
+        raise ValueError(f"unknown noise_mode {noise_mode!r}")
     shape = geom.grid.shape
     h, w = shape
     chunk = geom.chunk
@@ -67,6 +74,7 @@ def _scan(sample, params, geom, key):
     if num_steps % chunk:
         raise ValueError("chunk must divide height * width")
     n_chunks = num_steps // chunk
+    per_step = key is not None and noise_mode == "per_step"
 
     exc = psfs.gaussian_psf(shape, params.sigma_exc)
     dep = psfs.donut_psf(shape, params.sigma_dep)
@@ -76,10 +84,10 @@ def _scan(sample, params, geom, key):
 
     # Raster scan: step s visits pixel (s // W, s % W).
     steps = jnp.arange(num_steps).reshape(n_chunks, chunk)
-    xs = steps if key is None else (steps, jax.random.split(key, n_chunks))
+    xs = (steps, jax.random.split(key, n_chunks)) if per_step else steps
 
     def body(img, chunk_in):
-        pos_flat, k = (chunk_in, None) if key is None else chunk_in
+        pos_flat, k = chunk_in if per_step else (chunk_in, None)
         pos = jnp.stack([pos_flat // w, pos_flat % w], axis=-1)  # [C, 2] (y, x)
         ill = shifted_images(eff, pos)                           # [C, H, W]
         cam_mean = params.brightness * fftconv.convolve_otf(ill * sample, det_otf)
@@ -90,4 +98,6 @@ def _scan(sample, params, geom, key):
 
     init = jnp.zeros(shape, jnp.float32)
     img, _ = jax.lax.scan(body, init, xs)
+    if key is not None and noise_mode == "collapsed":
+        img = maybe_poisson(key, img)
     return img

@@ -41,15 +41,20 @@ def rescanned_line_sted_image(
     key: jax.Array | None = None,
     method: str = "analytic",
     use_pallas: bool | None = None,
+    noise_mode: str = "collapsed",
 ) -> AcquisitionResult:
     """Simulate a full rescanned line-STED acquisition of ``sample``.
 
-    Returns the rescanned canvas ``[H/b, round(R*W)/b]``.
+    Returns the rescanned canvas ``[H/b, round(R*W)/b]``. ``noise_mode``
+    (scan path): ``"collapsed"`` draws once from the accumulated canvas mean
+    -- statistically exact because re-binning and reassignment map each
+    camera pixel to exactly one canvas pixel; ``"per_step"`` samples every
+    camera frame.
     """
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
-        image = _scan(sample, params, geom, key, use_pallas)
+        image = _scan(sample, params, geom, key, use_pallas, noise_mode)
     else:
         raise ValueError(f"unknown method {method!r}")
     return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
@@ -72,7 +77,9 @@ def _rebin(cam: jnp.ndarray, b: int) -> jnp.ndarray:
     return cam.reshape(*lead, h // b, b, w // b, b).sum(axis=(-3, -1))
 
 
-def _scan(sample, params, geom, key, use_pallas):
+def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
+    if noise_mode not in ("collapsed", "per_step"):
+        raise ValueError(f"unknown noise_mode {noise_mode!r}")
     shape = geom.grid.shape
     h, w = shape
     b = geom.binning
@@ -81,15 +88,16 @@ def _scan(sample, params, geom, key, use_pallas):
         raise ValueError("chunk must divide width")
     n_chunks = w // chunk
     hc, wc = geom.canvas_shape
+    per_step = key is not None and noise_mode == "per_step"
 
     eff = effective_line_profile(w, params)
     det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
 
     positions = jnp.arange(w).reshape(n_chunks, chunk)
-    xs = positions if key is None else (positions, jax.random.split(key, n_chunks))
+    xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
 
     def body(canvas, chunk_in):
-        pos, k = (chunk_in, None) if key is None else chunk_in
+        pos, k = chunk_in if per_step else (chunk_in, None)
         ill = shifted_profiles(eff, pos)                         # [C, W]
         emitted = ill[:, None, :] * sample[None]                 # [C, H, W]
         cam = maybe_poisson(
@@ -102,4 +110,6 @@ def _scan(sample, params, geom, key, use_pallas):
 
     init = jnp.zeros((hc, wc), jnp.float32)
     canvas, _ = jax.lax.scan(body, init, xs)
+    if key is not None and noise_mode == "collapsed":
+        canvas = maybe_poisson(key, canvas)
     return canvas

@@ -56,7 +56,26 @@ def test_scan_and_analytic_noise_same_distribution():
     a = np.asarray(jax.vmap(lambda k: line_sted_image(
         sample, params, geom, key=k, method="analytic").image)(keys))
     s = np.asarray(jax.vmap(lambda k: line_sted_image(
-        sample, params, geom, key=k, method="scan").image)(keys))
+        sample, params, geom, key=k, method="scan",
+        noise_mode="per_step").image)(keys))
     # same mean and variance (within sampling error), per-image totals match
     assert abs(a.mean() - s.mean()) / a.mean() < 0.01
     assert abs(a.var(axis=0).mean() - s.var(axis=0).mean()) / a.var(axis=0).mean() < 0.1
+
+
+def test_collapsed_and_per_step_noise_same_distribution():
+    """noise_mode='collapsed' is distributionally identical to 'per_step'."""
+    shape = (32, 32)
+    sample = samples.rings(shape, period=10.0)
+    geom = LineSTEDGeometry(Grid(*shape), chunk=16)
+    params = LineSTEDParams.create(depletion=4.0, brightness=50.0)
+    n = 48
+    keys = jax.random.split(jax.random.key(3), n)
+    c = np.asarray(jax.vmap(lambda k: line_sted_image(
+        sample, params, geom, key=k, method="scan",
+        noise_mode="collapsed").image)(keys))
+    p = np.asarray(jax.vmap(lambda k: line_sted_image(
+        sample, params, geom, key=k, method="scan",
+        noise_mode="per_step").image)(keys))
+    assert abs(c.mean() - p.mean()) / c.mean() < 0.01
+    assert abs(c.var(axis=0).mean() - p.var(axis=0).mean()) / c.var(axis=0).mean() < 0.15
