@@ -21,6 +21,7 @@ def _figure(args) -> None:
         comparison_pipeline,
         dose_sweep_pipeline,
         fusion_pipeline,
+        fov_pipeline,
         rescan_pipeline,
     )
 
@@ -35,10 +36,14 @@ def _figure(args) -> None:
         "fusion": lambda: fusion_pipeline(
             args.out, size=args.size, num_angles=args.num_angles,
             depletion=args.depletion, rl_iters=args.rl_iters,
-            seed=args.seed),
+            seed=args.seed, modality=args.modality),
         "rescan": lambda: rescan_pipeline(
             args.out, size=args.size, depletion=args.depletion,
             seed=args.seed),
+        "fov": lambda: fov_pipeline(
+            args.out, sizes=tuple(args.fov_sizes),
+            depletion=args.depletion, num_angles=args.num_angles,
+            rl_iters=args.rl_iters, seed=args.seed),
     }
     names = list(runners) if args.which == "all" else [args.which]
     for name in names:
@@ -75,7 +80,7 @@ def main(argv=None) -> None:
 
     fig = sub.add_parser("figure", help="run a figure-equivalent pipeline")
     fig.add_argument("which", choices=["comparison", "sweep", "fusion",
-                                       "rescan", "all"])
+                                       "rescan", "fov", "all"])
     fig.add_argument("--out", default="out")
     fig.add_argument("--size", type=int, default=256)
     fig.add_argument("--depletion", type=float, default=8.0)
@@ -84,6 +89,10 @@ def main(argv=None) -> None:
     fig.add_argument("--max-power", type=float, default=16.0)
     fig.add_argument("--num-angles", type=int, default=4)
     fig.add_argument("--rl-iters", type=int, default=50)
+    fig.add_argument("--modality", choices=["descan", "rescan"],
+                     default="descan")
+    fig.add_argument("--fov-sizes", type=int, nargs="+",
+                     default=[128, 256, 512])
     fig.add_argument("--seed", type=int, default=0)
     fig.set_defaults(func=_figure)
 

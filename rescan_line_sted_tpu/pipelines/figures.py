@@ -186,22 +186,55 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
 
 def fusion_pipeline(out_dir: str, size: int = 256, num_angles: int = 4,
                     depletion: float = 8.0, rl_iters: int = 50,
-                    seed: int = 0) -> dict:
-    """Multi-orientation line-STED acquisition + RL fusion (config 5)."""
+                    seed: int = 0, modality: str = "descan") -> dict:
+    """Multi-orientation line-STED acquisition + RL fusion (config 5).
+
+    ``modality="descan"`` fuses descanned images with per-view kernels;
+    ``modality="rescan"`` fuses rescanned canvases through the operator-form
+    RL (deconvolve + de-rescan in one loop, see ``algorithms/fusion.py``).
+    """
     grid = Grid(size, size)
     sample = _default_sample(size)
     lgeom = LineSTEDGeometry(grid)
     params = LineSTEDParams.create(depletion=depletion, brightness=200.0)
     angles = jnp.arange(num_angles) * (jnp.pi / num_angles)
 
-    @jax.jit
-    def run(key):
-        views, kernels = multi_orientation_line_sted(
-            sample, params, lgeom, angles, key=key)
-        fused = richardson_lucy_views(views, kernels, num_iter=rl_iters)
-        return views, kernels, fused
+    if modality == "rescan":
+        from rescan_line_sted_tpu.algorithms.fusion import (
+            multi_orientation_rescan,
+            rescan_fusion,
+        )
+        from rescan_line_sted_tpu.imaging.orientations import (
+            orientation_kernels,
+        )
+        rgeom = RescanGeometry(grid, rescan_factor=2.0)
+        # static angles: they parameterize per-view operators under jit
+        angles_static = tuple(float(i) * np.pi / num_angles
+                              for i in range(num_angles))
 
-    views, kernels, fused = run(jax.random.key(seed))
+        @jax.jit
+        def run(key):
+            canvases = multi_orientation_rescan(
+                sample, params, rgeom, jnp.asarray(angles_static), key=key)
+            fused = rescan_fusion(canvases, params, rgeom, angles_static,
+                                  num_iter=rl_iters)
+            return canvases, fused
+
+        canvases, fused = run(jax.random.key(seed))
+        views = canvases
+        kernels = orientation_kernels((size, size), params, angles)
+    elif modality == "descan":
+
+        @jax.jit
+        def run(key):
+            views, kernels = multi_orientation_line_sted(
+                sample, params, lgeom, angles, key=key)
+            fused = richardson_lucy_views(views, kernels, num_iter=rl_iters)
+            return views, kernels, fused
+
+        views, kernels, fused = run(jax.random.key(seed))
+    else:
+        raise ValueError(f"unknown modality {modality!r}")
     _save_panels(out_dir, "fusion", {
         "sample": sample,
         "view_0deg": views[0],
@@ -211,11 +244,51 @@ def fusion_pipeline(out_dir: str, size: int = 256, num_angles: int = 4,
     ky, kx = fwhm_2d(kernels[0])
     metrics = {
         "pipeline": "fusion",
+        "modality": modality,
         "num_angles": num_angles,
         "rl_iters": rl_iters,
         "view_kernel_fwhm_x": float(kx),
         "view_kernel_fwhm_y": float(ky),
     }
+    emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
+    return metrics
+
+
+def fov_pipeline(out_dir: str, sizes: tuple[int, ...] = (128, 256, 512),
+                 depletion: float = 8.0, num_angles: int = 4,
+                 rl_iters: int = 40, seed: int = 0) -> dict:
+    """Batched resolution/FOV sweep (config 5): fused resolution + timing
+    per field-of-view size."""
+    from rescan_line_sted_tpu.sweeps import resolution_fov_sweep
+
+    params = LineSTEDParams.create(depletion=depletion, brightness=200.0)
+    records = resolution_fov_sweep(tuple(sizes), params,
+                                   num_angles=num_angles, rl_iters=rl_iters,
+                                   key=jax.random.key(seed))
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+        fovs = [r["fov"] for r in records]
+        ax1.plot(fovs, [r["fused_fwhm_x"] for r in records], "o-",
+                 label="fused x")
+        ax1.plot(fovs, [r["fused_fwhm_y"] for r in records], "s-",
+                 label="fused y")
+        ax1.plot(fovs, [r["view_kernel_fwhm_y"] for r in records], "--",
+                 label="single view (wide axis)")
+        ax1.set_xlabel("FOV (px)"), ax1.set_ylabel("FWHM (px)"), ax1.legend()
+        ax1.set_title("fused resolution vs FOV")
+        ax2.plot(fovs, [r["wall_s"] for r in records], "o-")
+        ax2.set_xlabel("FOV (px)"), ax2.set_ylabel("wall (s)")
+        ax2.set_title("acquisition+fusion wall-clock")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "fov_sweep.png"), dpi=120)
+        plt.close(fig)
+    except ImportError:  # pragma: no cover
+        pass
+    metrics = {"pipeline": "fov", "records": records}
     emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
     return metrics
 

@@ -1,0 +1,82 @@
+"""Operator-form RL and rescanned-view fusion tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rescan_line_sted_tpu.algorithms.fusion import (
+    multi_orientation_rescan,
+    rescan_fusion,
+    rescan_operator,
+    richardson_lucy_operator,
+)
+from rescan_line_sted_tpu.config import Grid, RescanGeometry, RescanParams
+from rescan_line_sted_tpu.data import samples
+
+
+SHAPE = (48, 48)
+GEOM = RescanGeometry(Grid(*SHAPE), rescan_factor=2.0, binning=1, chunk=16)
+PARAMS = RescanParams.create(sigma_exc=2.0, sigma_det=2.0, stripe_period=8.0,
+                             depletion=6.0, brightness=100.0)
+
+
+def _masked_sample():
+    # zero x-margins so the analytic rescan model is exact (see analytic.py)
+    mask = (jnp.arange(SHAPE[1]) >= 10) & (jnp.arange(SHAPE[1]) < 38)
+    return samples.rings(SHAPE, period=12.0) * mask[None, :]
+
+
+def test_rescan_operator_adjointness():
+    """<A x, y> == <x, A^T y> for random x, y."""
+    rng = np.random.default_rng(0)
+    fwd, adj = rescan_operator(GEOM, PARAMS)
+    x = jnp.asarray(rng.uniform(size=SHAPE), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=GEOM.canvas_shape), jnp.float32)
+    lhs = float(jnp.vdot(fwd(x), y))
+    rhs = float(jnp.vdot(x, adj(y)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+
+
+def test_forward_op_matches_engine():
+    sample = _masked_sample()
+    fwd, _ = rescan_operator(GEOM, PARAMS)
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    want = rescanned_line_sted_image(sample, PARAMS, GEOM,
+                                     method="analytic").image
+    got = fwd(sample)
+    err = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
+        np.linalg.norm(np.asarray(want))
+    assert err < 1e-6
+
+
+def test_operator_rl_matches_view_rl_for_plain_convolution():
+    """With identity-geometry conv ops, operator RL == kernel RL."""
+    from rescan_line_sted_tpu.algorithms import richardson_lucy
+    from rescan_line_sted_tpu.kernels import fftconv
+    from rescan_line_sted_tpu.physics import psf as psfs
+    true = samples.rings(SHAPE) + 0.05
+    psf = psfs.detection_psf(SHAPE, 1.5)
+    data = fftconv.fft_convolve(true, psf)
+    otf = fftconv.kernel_to_otf(psf)
+    ops = [(lambda e: fftconv.convolve_otf(e, otf),
+            lambda y: fftconv.correlate_otf(y, otf))]
+    init = jnp.full(SHAPE, jnp.mean(data))
+    got = richardson_lucy_operator([data], ops, 30, init)
+    want = richardson_lucy(data, psf, 30)
+    err = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
+        np.linalg.norm(np.asarray(want))
+    assert err < 1e-4
+
+
+def test_rescan_fusion_recovers_sample():
+    """Noise-free two-orientation rescan fusion converges to the sample."""
+    sample = _masked_sample()
+    angles = [0.0, np.pi / 2]
+    canvases = multi_orientation_rescan(sample, PARAMS, GEOM, angles)
+    est = rescan_fusion(canvases, PARAMS, GEOM, angles, num_iter=150)
+    est = np.asarray(est)
+    s = np.asarray(sample)
+    # compare the interior (rotation cuts corners; seams at x edges)
+    sl = (slice(12, 36), slice(12, 36))
+    corr = np.corrcoef(est[sl].ravel(), s[sl].ravel())[0, 1]
+    assert corr > 0.95
+    assert np.isfinite(est).all() and (est >= 0).all()
