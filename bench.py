@@ -17,12 +17,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# The axon tunnel memoizes (executable, inputs) -> result across processes;
+# a rerun with fixed PRNG keys would be served from cache and report bogus
+# timings. Every timed call gets a run-unique key derived from this seed.
+RUN_SEED = int.from_bytes(os.urandom(4), "little")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -60,15 +66,14 @@ def bench_scan_steps_per_sec(noise_mode: str):
 
     fn = jax.jit(lambda s, k: line_sted_image(
         s, params, geom, key=k, method="scan", noise_mode=noise_mode).image)
-    key = jax.random.key(0)
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(sample, key))
+    jax.block_until_ready(fn(sample, jax.random.key(RUN_SEED)))
     compile_s = time.perf_counter() - t0
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(sample, jax.random.key(i))
+        out = fn(sample, jax.random.key(RUN_SEED + 1 + i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return SCAN_SIZE / dt, compile_s, dt
@@ -85,13 +90,13 @@ def bench_tpu_sweep():
     fn = jax.jit(lambda p, k: dose_matched_sweep(
         sample, pbase, lbase, pgeom, lgeom, p, 100.0, key=k))
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(powers, jax.random.key(0)))
+    jax.block_until_ready(fn(powers, jax.random.key(RUN_SEED + 100)))
     compile_s = time.perf_counter() - t0
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(powers, jax.random.key(i))
+        out = fn(powers, jax.random.key(RUN_SEED + 101 + i))
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, compile_s
 

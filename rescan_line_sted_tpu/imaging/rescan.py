@@ -91,7 +91,10 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
     per_step = key is not None and noise_mode == "per_step"
 
     eff = effective_line_profile(w, params)
-    det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
+    # Separable detection; convy hoisted out of the loop (see line_sted.py).
+    otf_y = fftconv.profile_to_otf1d(psfs.detection_profile(h, params.sigma_det))
+    otf_x = fftconv.profile_to_otf1d(psfs.detection_profile(w, params.sigma_det))
+    sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
 
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
@@ -99,9 +102,10 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
     def body(canvas, chunk_in):
         pos, k = chunk_in if per_step else (chunk_in, None)
         ill = shifted_profiles(eff, pos)                         # [C, W]
-        emitted = ill[:, None, :] * sample[None]                 # [C, H, W]
+        emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
         cam = maybe_poisson(
-            k, params.brightness * fftconv.convolve_otf(emitted, det_otf))
+            k, params.brightness
+            * fftconv.convolve_otf1d(emitted_y, otf_x, axis=-1, n=w))
         frames = _rebin(cam, b)                                  # [C, H/b, W/b]
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)

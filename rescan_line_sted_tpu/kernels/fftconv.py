@@ -53,3 +53,17 @@ def fft_convolve(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 def fft_correlate(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """One-shot circular correlation with a centered kernel."""
     return correlate_otf(img, kernel_to_otf(kernel))
+
+
+def profile_to_otf1d(profile: jnp.ndarray) -> jnp.ndarray:
+    """Centered 1D kernel [n] -> 1D OTF [n//2+1] (rfft)."""
+    return jnp.fft.rfft(jnp.fft.ifftshift(profile, axes=-1))
+
+
+def convolve_otf1d(img: jnp.ndarray, otf: jnp.ndarray, axis: int,
+                   n: int) -> jnp.ndarray:
+    """Circular 1D convolution along ``axis`` with a precomputed 1D OTF."""
+    spec = jnp.fft.rfft(img, axis=axis)
+    shape = [1] * spec.ndim
+    shape[axis] = otf.shape[-1]
+    return jnp.fft.irfft(spec * otf.reshape(shape), n=n, axis=axis)

@@ -84,6 +84,19 @@ def detection_psf(shape: tuple[int, int], sigma) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
+def detection_profile(n: int, sigma) -> jnp.ndarray:
+    """Sum-normalized 1D Gaussian detection profile, centered, [n].
+
+    The 2D detection PSF factorizes exactly:
+    ``detection_psf((H, W), s) == outer(detection_profile(H, s),
+    detection_profile(W, s))`` -- the scan engines exploit this to hoist the
+    y-convolution out of the scan loop (illumination is y-invariant).
+    """
+    x = _centered_coords(n)
+    g = jnp.exp(-jnp.square(x) / (2.0 * jnp.square(sigma)))
+    return g / jnp.sum(g)
+
+
 def effective_psf(exc: jnp.ndarray, dep: jnp.ndarray, s) -> jnp.ndarray:
     """Saturable-depletion effective illumination: ``exc * exp(-s * dep)``.
 
