@@ -77,9 +77,18 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
     # Separable detection: det = gy (x) gx exactly, and the line illumination
     # is y-invariant, so convy hoists out of the loop:
     # conv2d(det, sample . ill) == convx(gx, ill . convy(gy, sample)).
+    gx = psfs.detection_profile(w, params.sigma_det)
     otf_y = fftconv.profile_to_otf1d(psfs.detection_profile(h, params.sigma_det))
-    otf_x = fftconv.profile_to_otf1d(psfs.detection_profile(w, params.sigma_det))
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
+    if per_step:
+        # Camera frames are needed explicitly (Poisson per frame): circular
+        # x-convolution as one MXU matmul with the circulant of gx.
+        gx_mat = fftconv.circulant_matrix(gx)
+    else:
+        # Detection folds into the loop analytically: the slit-summed column
+        # is sum_a emitted_y(y, a) q(a - x0) with q = slit (*) gx -- no
+        # camera frame and no in-loop convolution at all.
+        q = fftconv.convolve_profiles(slit, gx)
 
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
@@ -88,11 +97,17 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         pos, k = chunk_in if per_step else (chunk_in, None)
         ill = shifted_profiles(eff, pos)                         # [C, W]
         emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
-        cam = maybe_poisson(
-            k, params.brightness
-            * fftconv.convolve_otf1d(emitted_y, otf_x, axis=-1, n=w))
-        slits = shifted_profiles(slit, pos)                      # [C, W]
-        cols = jnp.einsum("chw,cw->hc", cam, slits)              # [H, C]
+        if per_step:
+            cam = maybe_poisson(
+                k, params.brightness
+                * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
+                             preferred_element_type=jnp.float32))
+            slits = shifted_profiles(slit, pos)                  # [C, W]
+            cols = jnp.einsum("chw,cw->hc", cam, slits)          # [H, C]
+        else:
+            qs = shifted_profiles(q, pos)                        # [C, W]
+            cols = params.brightness * jnp.einsum(
+                "chw,cw->hc", emitted_y, qs)                     # [H, C]
         return img.at[:, pos].set(cols), None
 
     init = jnp.zeros(shape, jnp.float32)

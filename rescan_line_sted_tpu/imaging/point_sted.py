@@ -79,8 +79,15 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
     exc = psfs.gaussian_psf(shape, params.sigma_exc)
     dep = psfs.donut_psf(shape, params.sigma_dep)
     eff = psfs.effective_psf(exc, dep, params.depletion)
-    det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
+    det = psfs.detection_psf(shape, params.sigma_det)
     pin = psfs.pinhole_mask(shape, params.pinhole_radius)
+    if per_step:
+        det_otf = fftconv.kernel_to_otf(det)
+    else:
+        # Detection folds into the loop: the pinhole-summed value is
+        # sum_a emitted(a) Q(a - x0) with Q = pin (*) det (both circularly
+        # even) -- no camera frame and no in-loop FFT.
+        q2d = fftconv.fft_convolve(pin, det)
 
     # Raster scan: step s visits pixel (s // W, s % W).
     steps = jnp.arange(num_steps).reshape(n_chunks, chunk)
@@ -90,10 +97,15 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         pos_flat, k = chunk_in if per_step else (chunk_in, None)
         pos = jnp.stack([pos_flat // w, pos_flat % w], axis=-1)  # [C, 2] (y, x)
         ill = shifted_images(eff, pos)                           # [C, H, W]
-        cam_mean = params.brightness * fftconv.convolve_otf(ill * sample, det_otf)
-        cam = maybe_poisson(k, cam_mean)
-        pinholes = shifted_images(pin, pos)                      # [C, H, W]
-        vals = jnp.einsum("chw,chw->c", cam, pinholes)
+        if per_step:
+            cam = maybe_poisson(k, params.brightness
+                                * fftconv.convolve_otf(ill * sample, det_otf))
+            pinholes = shifted_images(pin, pos)                  # [C, H, W]
+            vals = jnp.einsum("chw,chw->c", cam, pinholes)
+        else:
+            qs = shifted_images(q2d, pos)                        # [C, H, W]
+            vals = params.brightness * jnp.einsum(
+                "chw,chw->c", ill * sample, qs)
         return img.at[pos[:, 0], pos[:, 1]].set(vals), None
 
     init = jnp.zeros(shape, jnp.float32)

@@ -91,9 +91,12 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
     per_step = key is not None and noise_mode == "per_step"
 
     eff = effective_line_profile(w, params)
-    # Separable detection; convy hoisted out of the loop (see line_sted.py).
+    # Separable detection; convy hoisted out of the loop, x-convolution as a
+    # circulant MXU matmul (see line_sted.py). The rescan canvas needs the
+    # full camera frame each step, so detection cannot fold away here.
     otf_y = fftconv.profile_to_otf1d(psfs.detection_profile(h, params.sigma_det))
-    otf_x = fftconv.profile_to_otf1d(psfs.detection_profile(w, params.sigma_det))
+    gx_mat = fftconv.circulant_matrix(
+        psfs.detection_profile(w, params.sigma_det))
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
 
     positions = jnp.arange(w).reshape(n_chunks, chunk)
@@ -105,7 +108,8 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
         emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
         cam = maybe_poisson(
             k, params.brightness
-            * fftconv.convolve_otf1d(emitted_y, otf_x, axis=-1, n=w))
+            * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
+                         preferred_element_type=jnp.float32))
         frames = _rebin(cam, b)                                  # [C, H/b, W/b]
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)

@@ -55,6 +55,27 @@ def fft_correlate(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return correlate_otf(img, kernel_to_otf(kernel))
 
 
+def convolve_profiles(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Circular 1D convolution of two centered profiles -> centered profile."""
+    n = a.shape[-1]
+    spec = (jnp.fft.rfft(jnp.fft.ifftshift(a))
+            * jnp.fft.rfft(jnp.fft.ifftshift(b)))
+    return jnp.fft.fftshift(jnp.fft.irfft(spec, n=n))
+
+
+def circulant_matrix(profile: jnp.ndarray) -> jnp.ndarray:
+    """Centered 1D kernel [W] -> circulant matrix M[a, x] = k(x - a), [W, W].
+
+    ``img @ M`` is circular convolution along the last axis as ONE matmul --
+    on TPU the MXU crushes a W x W matmul at these sizes, so scan engines use
+    this instead of per-step FFTs when they need explicit camera frames.
+    """
+    w = profile.shape[-1]
+    x = jnp.arange(w)
+    idx = (x[None, :] - x[:, None] + w // 2) % w
+    return profile[idx]
+
+
 def profile_to_otf1d(profile: jnp.ndarray) -> jnp.ndarray:
     """Centered 1D kernel [n] -> 1D OTF [n//2+1] (rfft)."""
     return jnp.fft.rfft(jnp.fft.ifftshift(profile, axes=-1))
