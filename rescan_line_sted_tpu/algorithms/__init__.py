@@ -7,3 +7,12 @@ from rescan_line_sted_tpu.algorithms.metrics import (  # noqa: F401
     fwhm_2d,
     system_resolution_report,
 )
+from rescan_line_sted_tpu.algorithms.map_deconv import (  # noqa: F401
+    map_deconvolve_views,
+)
+from rescan_line_sted_tpu.algorithms.fusion import (  # noqa: F401
+    richardson_lucy_operator,
+    rescan_operator,
+    multi_orientation_rescan,
+    rescan_fusion,
+)

@@ -6,3 +6,7 @@ from rescan_line_sted_tpu.imaging.analytic import (  # noqa: F401
     line_system_kernel,
     rescan_system_kernel,
 )
+from rescan_line_sted_tpu.imaging.frames import (  # noqa: F401
+    line_sted_camera_frames,
+    point_sted_camera_frames,
+)
