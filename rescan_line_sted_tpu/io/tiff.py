@@ -28,8 +28,14 @@ def _entry(tag: int, typ: int, count: int, value: int) -> bytes:
     return struct.pack("<HHII", tag, typ, count, value)
 
 
-def array_to_tif(arr: np.ndarray, path: str) -> None:
-    """Write ``[H, W]`` or ``[N, H, W]`` grayscale array as a (multi-page) TIFF."""
+def array_to_tif(arr: np.ndarray, path: str, use_native: bool | None = None
+                 ) -> None:
+    """Write ``[H, W]`` or ``[N, H, W]`` grayscale array as a (multi-page) TIFF.
+
+    Large stacks route through the native C++ codec (``io/native``,
+    byte-identical output) when it is available; ``use_native`` forces the
+    choice for testing.
+    """
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[None]
@@ -37,6 +43,16 @@ def array_to_tif(arr: np.ndarray, path: str) -> None:
         raise ValueError(f"expected [H,W] or [N,H,W], got shape {arr.shape}")
     if arr.dtype not in _SAMPLE_FORMAT:
         arr = arr.astype(np.float32)
+
+    if use_native is None:
+        use_native = arr.nbytes >= (1 << 20)
+    if use_native:
+        from rescan_line_sted_tpu.io.native import tiff_encode_native
+
+        blob = tiff_encode_native(arr)
+        if blob is not None:
+            blob.tofile(path)
+            return
     n, h, w = arr.shape
     bps = arr.dtype.itemsize * 8
     fmt = _SAMPLE_FORMAT[arr.dtype]
