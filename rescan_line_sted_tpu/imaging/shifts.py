@@ -33,10 +33,13 @@ def shifted_images(psf: jnp.ndarray, positions_yx: jnp.ndarray) -> jnp.ndarray:
 def flip_centered(arr: jnp.ndarray) -> jnp.ndarray:
     """Point-reflect a centered array through the grid center: out(v) = in(-v).
 
-    Exact on even grids (where reversal alone would be off by one pixel).
+    With center ``c = n // 2``: ``out[i] = in[(2c - i) % n]`` -- plain
+    reversal on odd axes, reversal plus a one-pixel roll on even axes.
     Flips every axis -- use on unbatched 1D profiles / 2D kernels only.
     """
     out = arr
     for ax in range(arr.ndim):
-        out = jnp.roll(jnp.flip(out, axis=ax), 1, axis=ax)
+        out = jnp.flip(out, axis=ax)
+        if arr.shape[ax] % 2 == 0:
+            out = jnp.roll(out, 1, axis=ax)
     return out
