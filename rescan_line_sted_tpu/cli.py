@@ -22,6 +22,7 @@ def _figure(args) -> None:
         dose_sweep_pipeline,
         fusion_pipeline,
         fov_pipeline,
+        line_scan_animation,
         rescan_pipeline,
     )
 
@@ -44,6 +45,9 @@ def _figure(args) -> None:
             args.out, sizes=tuple(args.fov_sizes),
             depletion=args.depletion, num_angles=args.num_angles,
             rl_iters=args.rl_iters, seed=args.seed),
+        "animation": lambda: line_scan_animation(
+            args.out, size=args.size, depletion=args.depletion,
+            seed=args.seed),
     }
     names = list(runners) if args.which == "all" else [args.which]
     for name in names:
@@ -80,7 +84,7 @@ def main(argv=None) -> None:
 
     fig = sub.add_parser("figure", help="run a figure-equivalent pipeline")
     fig.add_argument("which", choices=["comparison", "sweep", "fusion",
-                                       "rescan", "fov", "all"])
+                                       "rescan", "fov", "animation", "all"])
     fig.add_argument("--out", default="out")
     fig.add_argument("--size", type=int, default=256)
     fig.add_argument("--depletion", type=float, default=8.0)

@@ -5,3 +5,6 @@ from rescan_line_sted_tpu.pipelines.figures import (  # noqa: F401
     fov_pipeline,
     rescan_pipeline,
 )
+from rescan_line_sted_tpu.pipelines.animation import (  # noqa: F401
+    line_scan_animation,
+)

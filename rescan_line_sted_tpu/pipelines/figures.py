@@ -39,7 +39,6 @@ from rescan_line_sted_tpu.config import (
 from rescan_line_sted_tpu.data import samples
 from rescan_line_sted_tpu.imaging import (
     line_sted_image,
-    point_sted_image,
     rescanned_line_sted_image,
 )
 from rescan_line_sted_tpu.imaging.orientations import multi_orientation_line_sted

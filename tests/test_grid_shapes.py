@@ -1,6 +1,5 @@
 """Non-square and odd grid shapes: catch H/W swaps and center-convention bugs."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
