@@ -60,6 +60,30 @@ def rescanned_line_sted_image(
     return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
 
 
+def optimal_rescan_factor(params: RescanParams, width: int) -> jnp.ndarray:
+    """Optimal rescan (sweep) factor from the simulated PSF widths (C6).
+
+    A photon detected at camera x while scanning at x0 has position estimate
+    ``y_hat = x0 + (x - x0) * w`` with inverse-variance weight
+    ``w = sigma_ill^2 / (sigma_ill^2 + sigma_det^2)``. Rescan writes the
+    photon at ``u = R*x0 + (x - x0)``, i.e. ``u/R = x0 + (x - x0)/R`` on the
+    magnification-corrected grid, so the sharpest sum has ``R = 1/w``:
+
+        R = 1 + sigma_det^2 / sigma_ill_eff^2
+
+    ``sigma_ill_eff`` is measured from the *depleted* excitation line (its
+    FWHM / 2.3548), so stronger STED pushes R up -- the sharper the line,
+    the more each photon's position should collapse toward the scan
+    position. R = 2 exactly when the effective line width equals the
+    detection width (classic rescan confocal).
+    """
+    from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
+
+    eff = effective_line_profile(width, params)
+    sigma_ill = fwhm_1d(eff) / 2.3548200450309493
+    return 1.0 + jnp.square(params.sigma_det) / jnp.square(sigma_ill)
+
+
 def _analytic(sample, params, geom, key):
     r = int(round(geom.rescan_factor))
     hc, wc = geom.canvas_shape

@@ -80,3 +80,16 @@ def test_rescan_fusion_recovers_sample():
     corr = np.corrcoef(est[sl].ravel(), s[sl].ravel())[0, 1]
     assert corr > 0.95
     assert np.isfinite(est).all() and (est >= 0).all()
+
+
+def test_optimal_rescan_factor():
+    from rescan_line_sted_tpu.imaging.rescan import optimal_rescan_factor
+
+    # equal widths (no depletion, sigma_exc == sigma_det) -> R ~= 2
+    p_eq = RescanParams.create(sigma_exc=4.0, sigma_det=4.0, depletion=0.0)
+    r_eq = float(optimal_rescan_factor(p_eq, 128))
+    assert abs(r_eq - 2.0) < 0.1
+    # strong STED sharpens the line -> R grows (photons collapse to x0)
+    p_sted = RescanParams.create(sigma_exc=4.0, sigma_det=4.0,
+                                 stripe_period=16.0, depletion=30.0)
+    assert float(optimal_rescan_factor(p_sted, 128)) > 3.0
