@@ -121,9 +121,10 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     lbase = LineSTEDParams.create(brightness=1.0)
     powers = jnp.linspace(0.0, max_power, num_powers)
 
+    rgeom = RescanGeometry(grid, rescan_factor=2.0)
     run = jax.jit(lambda p, k: dose_matched_sweep(
         sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
-        orientations=orientations))
+        orientations=orientations, rescan_geom=rgeom))
 
     ckpt = SweepCheckpoint(os.path.join(out_dir, "sweep_ckpt"))
     ckpt.write_meta(size=size, num_powers=num_powers, max_power=max_power,
@@ -159,6 +160,8 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         p = np.asarray(merged.depletion_powers)
         ax1.plot(p, np.asarray(merged.point.fwhm_x), label="point STED")
         ax1.plot(p, np.asarray(merged.line.fwhm_x), label="line STED (scan axis)")
+        ax1.plot(p, np.asarray(merged.rescan.fwhm_x), "--",
+                 label="rescanned line STED")
         ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
         ax1.legend(), ax1.set_title("resolution at matched dose")
         ax2.plot(p, np.asarray(merged.point.emitted_signal), label="point")

@@ -53,7 +53,8 @@ class DoseMatchedComparison:
     depletion_powers: jnp.ndarray  # [B]
     dose_budget: jnp.ndarray       # scalar (per-pixel total dose)
     point: ModalitySweep
-    line: ModalitySweep
+    line: ModalitySweep            # descanned line-STED
+    rescan: ModalitySweep | None = None  # rescanned line-STED (optional arm)
 
 
 def dose_matched_sweep(
@@ -66,18 +67,22 @@ def dose_matched_sweep(
     dose_budget,
     key: jax.Array | None = None,
     orientations: int = 1,
+    rescan_geom=None,
 ) -> DoseMatchedComparison:
     """Run the full dose-matched comparison as one vmapped program.
 
     ``depletion_powers`` [B] is the sweep axis (shard it over a mesh "batch"
     axis for multi-chip). ``key=None`` gives noise-free expected images.
+    Passing a ``RescanGeometry`` adds a third arm -- rescanned line-STED at
+    the same illumination/dose as the descanned line (only detection
+    differs), the paper's headline modality.
     """
     shape = point_geom.grid.shape
     powers = jnp.asarray(depletion_powers, jnp.float32)
     budget = jnp.asarray(dose_budget, jnp.float32)
     sample_sum = jnp.sum(sample)
 
-    def one(s, kp, kl):
+    def one(s, kp, kl, kr):
         pp = point_base.replace(depletion=s)
         lp = line_base.replace(depletion=s)
         pdose = point_sted_dose(pp, point_geom)
@@ -107,15 +112,36 @@ def dose_matched_sweep(
             exposure=exp_l,
             num_steps=ldose.num_steps * orientations,
         )
-        return point_res, line_res
+        if rescan_geom is None:
+            return point_res, line_res, None
+
+        from rescan_line_sted_tpu.imaging.rescan import (
+            rescanned_line_sted_image,
+        )
+
+        rimg = rescanned_line_sted_image(
+            sample, lp_run, rescan_geom, key=kr).image
+        hk = analytic.rescan_system_kernel(rescan_geom, lp)
+        r_fy, r_fx = fwhm_2d(hk)
+        rescan_res = ModalitySweep(
+            image=rimg,
+            # canvas x is magnified by R; report sample-scale resolution
+            fwhm_x=r_fx / rescan_geom.rescan_factor, fwhm_y=r_fy,
+            emitted_signal=line_res.emitted_signal,
+            exposure=exp_l,
+            num_steps=ldose.num_steps * orientations,
+        )
+        return point_res, line_res, rescan_res
 
     b = powers.shape[0]
     if key is None:
-        point_res, line_res = jax.vmap(lambda s: one(s, None, None))(powers)
+        point_res, line_res, rescan_res = jax.vmap(
+            lambda s: one(s, None, None, None))(powers)
     else:
-        kp, kl = jax.random.split(key)
-        point_res, line_res = jax.vmap(one)(
-            powers, jax.random.split(kp, b), jax.random.split(kl, b))
+        kp, kl, kr = jax.random.split(key, 3)
+        point_res, line_res, rescan_res = jax.vmap(one)(
+            powers, jax.random.split(kp, b), jax.random.split(kl, b),
+            jax.random.split(kr, b))
     return DoseMatchedComparison(
         depletion_powers=powers, dose_budget=budget,
-        point=point_res, line=line_res)
+        point=point_res, line=line_res, rescan=rescan_res)

@@ -81,3 +81,19 @@ def test_sweep_jits_as_one_program_with_noise():
     res2 = f(POWERS, jax.random.key(0))
     np.testing.assert_array_equal(np.asarray(res.line.image),
                                   np.asarray(res2.line.image))
+
+
+def test_sweep_with_rescan_arm():
+    from rescan_line_sted_tpu.config import RescanGeometry
+    rgeom = RescanGeometry(Grid(*SHAPE), rescan_factor=2.0)
+    res = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM, POWERS,
+                             dose_budget=100.0, key=jax.random.key(1),
+                             rescan_geom=rgeom)
+    assert res.rescan is not None
+    assert res.rescan.image.shape == (3, SHAPE[0], 2 * SHAPE[1])
+    # same dose/steps as the descanned line arm (only detection differs)
+    np.testing.assert_allclose(np.asarray(res.rescan.exposure),
+                               np.asarray(res.line.exposure))
+    # rescan resolution (sample scale) improves with depletion
+    fx = np.asarray(res.rescan.fwhm_x)
+    assert fx[0] > fx[-1]
