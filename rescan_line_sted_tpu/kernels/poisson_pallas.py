@@ -140,8 +140,11 @@ def poisson_pallas(key: jax.Array, lam: jnp.ndarray,
                               dtype=jnp.int32)
     lam = jnp.asarray(lam, jnp.float32)
     n = lam.size
+    # Block at 128x1024 f32 (0.5 MB): the unrolled sampler keeps several
+    # temporaries live per block and 256-row blocks brushed the 16 MB scoped
+    # VMEM ceiling on some program shapes.
     if n >= (1 << 20):
-        cols, block_rows = 1024, 256
+        cols, block_rows = 1024, 128
     else:
         cols, block_rows = 128, 8
     padded = _round_up(n, block_rows * cols)
