@@ -30,12 +30,19 @@ def richardson_lucy_views(
     num_iter: int,
     eps: float = 1e-6,
     init: jnp.ndarray | None = None,
+    accelerate: bool = False,
 ) -> jnp.ndarray:
     """Multi-view RL fusion.
 
     data: [V, H, W] acquired views; psfs: [V, H, W] centered per-view system
     kernels (each view's image is modeled as ``est (*) psf_v``). Returns the
     fused estimate [H, W]. ``num_iter`` is static under jit.
+
+    ``accelerate=True`` enables Biggs-Andrews vector extrapolation (Appl.
+    Opt. 36, 1766 (1997)): each multiplicative update is applied at a point
+    extrapolated along the recent trajectory, typically reaching a given
+    restoration error in ~2-3x fewer iterations (each iteration does the
+    same one batched FFT round-trip).
     """
     otfs = fftconv.kernel_to_otf(psfs)  # [V, H, W//2+1]
     shape = data.shape[-2:]
@@ -46,13 +53,28 @@ def richardson_lucy_views(
     # which keeps the f32 iteration from blowing up to NaN.
     tiny = eps * jnp.maximum(jnp.mean(jnp.abs(data)), 1e-30)
 
-    def body(_, est):
+    def rl_update(est):
         fwd = fftconv.convolve_otf(est[None], otfs, shape)      # [V, H, W]
         ratio = jnp.where(fwd > tiny, data / jnp.maximum(fwd, tiny), 0.0)
         back = fftconv.correlate_otf(ratio, otfs, shape)        # [V, H, W]
         return est * jnp.mean(back, axis=0)
 
-    return jax.lax.fori_loop(0, num_iter, body, init)
+    if not accelerate:
+        return jax.lax.fori_loop(0, num_iter, lambda _, e: rl_update(e), init)
+
+    def body(_, carry):
+        x, x_prev, g_prev = carry
+        # extrapolation weight from successive update directions
+        g = x - x_prev
+        num = jnp.sum(g * g_prev)
+        den = jnp.maximum(jnp.sum(g_prev * g_prev), 1e-30)
+        alpha = jnp.clip(num / den, 0.0, 0.999)
+        y = jnp.maximum(x + alpha * g, 0.0)
+        x_new = rl_update(y)
+        return x_new, x, g
+    x, _, _ = jax.lax.fori_loop(
+        0, num_iter, body, (init, init, jnp.zeros_like(init)))
+    return x
 
 
 def richardson_lucy(
