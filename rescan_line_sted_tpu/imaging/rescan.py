@@ -123,6 +123,23 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
         psfs.detection_profile(w, params.sigma_det))
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
 
+    # Fused megakernel path: the whole scan in ONE pallas_call with the
+    # canvas resident in VMEM (kernels/rescan_fused.py). Applies when no
+    # per-frame noise or re-binning is needed; on-TPU by default.
+    on_tpu = jax.default_backend() == "tpu"
+    if (b == 1 and not per_step
+            and (use_pallas or (use_pallas is None and on_tpu))):
+        from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused
+
+        pos = jnp.arange(w)
+        offsets = jnp.round(
+            (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
+        canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,
+                              offsets, wc, interpret=not on_tpu)
+        if key is not None:
+            canvas = maybe_poisson(key, canvas)
+        return canvas
+
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
 
