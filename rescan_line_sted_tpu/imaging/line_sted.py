@@ -80,38 +80,34 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
     gx = psfs.detection_profile(w, params.sigma_det)
     otf_y = fftconv.profile_to_otf1d(psfs.detection_profile(h, params.sigma_det))
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
-    if per_step:
-        # Camera frames are needed explicitly (Poisson per frame): circular
-        # x-convolution as one MXU matmul with the circulant of gx.
-        gx_mat = fftconv.circulant_matrix(gx)
-    else:
-        # Detection folds into the loop analytically: the slit-summed column
-        # is sum_a emitted_y(y, a) q(a - x0) with q = slit (*) gx -- no
-        # camera frame and no in-loop convolution at all.
+    if not per_step:
+        # All W scan steps collapse to ONE MXU matmul: folding detection into
+        # the step (q = slit (*) gx) gives img(y, x0) = sum_a sample_y(y, a)
+        # * p(a - x0) with p = eff . q, i.e. sample_y @ circulant(p). Same
+        # per-step physics, scheduled as a single 512^3-class matmul.
         q = fftconv.convolve_profiles(slit, gx)
+        p_mat = fftconv.circulant_matrix(params.brightness * eff * q)
+        img = jnp.dot(sample_y, p_mat, preferred_element_type=jnp.float32)
+        return img if key is None else maybe_poisson(key, img)
 
+    # Per-step noise: explicit camera frames, chunked lax.scan; the circular
+    # x-convolution is one MXU matmul per chunk with the circulant of gx.
+    gx_mat = fftconv.circulant_matrix(gx)
     positions = jnp.arange(w).reshape(n_chunks, chunk)
-    xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
+    xs = (positions, jax.random.split(key, n_chunks))
 
     def body(img, chunk_in):
-        pos, k = chunk_in if per_step else (chunk_in, None)
+        pos, k = chunk_in
         ill = shifted_profiles(eff, pos)                         # [C, W]
         emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
-        if per_step:
-            cam = maybe_poisson(
-                k, params.brightness
-                * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
-                             preferred_element_type=jnp.float32))
-            slits = shifted_profiles(slit, pos)                  # [C, W]
-            cols = jnp.einsum("chw,cw->hc", cam, slits)          # [H, C]
-        else:
-            qs = shifted_profiles(q, pos)                        # [C, W]
-            cols = params.brightness * jnp.einsum(
-                "chw,cw->hc", emitted_y, qs)                     # [H, C]
+        cam = maybe_poisson(
+            k, params.brightness
+            * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
+                         preferred_element_type=jnp.float32))
+        slits = shifted_profiles(slit, pos)                      # [C, W]
+        cols = jnp.einsum("chw,cw->hc", cam, slits)              # [H, C]
         return img.at[:, pos].set(cols), None
 
     init = jnp.zeros(shape, jnp.float32)
     img, _ = jax.lax.scan(body, init, xs)
-    if key is not None and noise_mode == "collapsed":
-        img = maybe_poisson(key, img)
     return img
