@@ -81,35 +81,31 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
     eff = psfs.effective_psf(exc, dep, params.depletion)
     det = psfs.detection_psf(shape, params.sigma_det)
     pin = psfs.pinhole_mask(shape, params.pinhole_radius)
-    if per_step:
-        det_otf = fftconv.kernel_to_otf(det)
-    else:
-        # Detection folds into the loop: the pinhole-summed value is
-        # sum_a emitted(a) Q(a - x0) with Q = pin (*) det (both circularly
-        # even) -- no camera frame and no in-loop FFT.
-        q2d = fftconv.fft_convolve(pin, det)
 
+    if not per_step:
+        # All W*H steps collapse: folding detection into the step
+        # (Q = pin (*) det) makes each detected value an inner product with
+        # a shifted copy of P = eff . Q, so the whole raster is ONE circular
+        # correlation with P -- the same kernel the analytic path derives.
+        p2d = eff * fftconv.fft_convolve(pin, det)
+        img = params.brightness * fftconv.fft_correlate(sample, p2d)
+        return img if key is None else maybe_poisson(key, img)
+
+    det_otf = fftconv.kernel_to_otf(det)
     # Raster scan: step s visits pixel (s // W, s % W).
     steps = jnp.arange(num_steps).reshape(n_chunks, chunk)
-    xs = (steps, jax.random.split(key, n_chunks)) if per_step else steps
+    xs = (steps, jax.random.split(key, n_chunks))
 
     def body(img, chunk_in):
-        pos_flat, k = chunk_in if per_step else (chunk_in, None)
+        pos_flat, k = chunk_in
         pos = jnp.stack([pos_flat // w, pos_flat % w], axis=-1)  # [C, 2] (y, x)
         ill = shifted_images(eff, pos)                           # [C, H, W]
-        if per_step:
-            cam = maybe_poisson(k, params.brightness
-                                * fftconv.convolve_otf(ill * sample, det_otf))
-            pinholes = shifted_images(pin, pos)                  # [C, H, W]
-            vals = jnp.einsum("chw,chw->c", cam, pinholes)
-        else:
-            qs = shifted_images(q2d, pos)                        # [C, H, W]
-            vals = params.brightness * jnp.einsum(
-                "chw,chw->c", ill * sample, qs)
+        cam = maybe_poisson(k, params.brightness
+                            * fftconv.convolve_otf(ill * sample, det_otf))
+        pinholes = shifted_images(pin, pos)                      # [C, H, W]
+        vals = jnp.einsum("chw,chw->c", cam, pinholes)
         return img.at[pos[:, 0], pos[:, 1]].set(vals), None
 
     init = jnp.zeros(shape, jnp.float32)
     img, _ = jax.lax.scan(body, init, xs)
-    if key is not None and noise_mode == "collapsed":
-        img = maybe_poisson(key, img)
     return img

@@ -59,3 +59,12 @@ def test_cli_figure_and_psf_report(tmp_path, capsys):
     cli_main(["psf-report", "--size", "64", "--depletion", "8"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["point_fwhm_x"] < rep["line_fwhm_y"]
+
+
+def test_fusion_pipeline_rescan_modality(tmp_path):
+    m = fusion_pipeline(str(tmp_path), size=48, num_angles=2, rl_iters=10,
+                        modality="rescan")
+    assert m["modality"] == "rescan"
+    fused = tif_to_array(str(tmp_path / "fusion_fused_rl.tif"))
+    assert fused.shape == (48, 48)
+    assert np.isfinite(fused).all()
