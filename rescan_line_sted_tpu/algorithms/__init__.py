@@ -16,3 +16,6 @@ from rescan_line_sted_tpu.algorithms.fusion import (  # noqa: F401
     multi_orientation_rescan,
     rescan_fusion,
 )
+from rescan_line_sted_tpu.algorithms.calibration import (  # noqa: F401
+    fit_line_sted_params,
+)

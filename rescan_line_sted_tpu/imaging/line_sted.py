@@ -2,9 +2,16 @@
 
 The excitation line runs along y and is scanned along x: ``W`` scan positions
 produce one image column each through a descanned slit. Methods as in
-``point_sted.py``: ``"analytic"`` (one FFT correlation, exact statistics) and
-``"scan"`` (``lax.scan`` over chunked line positions -- one batched FFT
-convolution per chunk; this is the scan-steps/sec benchmark path).
+``point_sted.py``: ``"analytic"`` (one FFT correlation with the closed-form
+system kernel, exact statistics) and ``"scan"`` (the per-scan-position
+process; this is the scan-steps/sec benchmark path). Scan scheduling:
+
+* collapsed noise (default): detection folds into the step (``q = slit (*)
+  gx``) and every step is an inner product with a shifted copy of
+  ``p = eff . q`` -- the whole raster is ONE MXU matmul against
+  ``circulant(p)``.
+* per-step noise: chunked ``lax.scan``; each chunk's camera frames come from
+  a circulant MXU matmul, get Poisson-sampled, then slit-summed.
 """
 
 from __future__ import annotations

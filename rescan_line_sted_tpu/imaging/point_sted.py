@@ -5,11 +5,13 @@ Two method paths, identical physics:
 * ``"analytic"`` (default): one FFT correlation of the sample with the
   closed-form system kernel, then one Poisson draw -- statistically exact
   (see ``imaging/analytic.py``). This is the production path.
-* ``"scan"``: the faithful per-scan-position process -- a ``lax.scan`` over
-  chunks of scan positions, each chunk one batched gather-shift /
-  emit-multiply / FFT-convolve / Poisson / pinhole-sum (the reference's
-  ``W*H``-iteration Python hot loop, compiled). Used for parity testing and
-  for per-step camera-frame inspection on small grids.
+* ``"scan"``: the faithful per-scan-position process (the reference's
+  ``W*H``-iteration Python hot loop). With per-step noise it is a
+  ``lax.scan`` over chunks: batched gather-shift / emit-multiply /
+  FFT-convolve / Poisson / pinhole-sum. With collapsed noise the
+  pinhole-folded raster reduces exactly to one circular correlation with
+  ``P = eff . (pinhole (*) det)`` -- identical math, no loop. Used for
+  parity testing and per-step camera-frame inspection on small grids.
 """
 
 from __future__ import annotations

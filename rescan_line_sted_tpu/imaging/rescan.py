@@ -12,9 +12,13 @@ Methods:
 * ``"analytic"``: canvas = ``conv(upsample_x(sample, R), H)`` with the
   closed-form rescan kernel H, one Poisson draw (exact statistics; integer R,
   ``binning=1``; matches the scan path away from the circular seam).
-* ``"scan"``: ``lax.scan`` over chunked line positions; each chunk's frames
-  are scatter-added by the Pallas rescan-accumulate kernel
-  (``kernels/rescan_accumulate.py``), or the XLA ``.at[].add`` fallback.
+* ``"scan"``: the per-scan-position process. On TPU with ``binning=1`` and
+  collapsed noise the whole scan runs as ONE fused Pallas megakernel
+  (``kernels/rescan_fused.py``: in-register illumination roll -> emit -> MXU
+  circulant matmul -> scatter-accumulate, canvas VMEM-resident). Otherwise a
+  ``lax.scan`` over chunked positions with the Pallas rescan-accumulate
+  scatter kernel (``kernels/rescan_accumulate.py``) or the XLA ``.at[].add``
+  fallback.
 """
 
 from __future__ import annotations
