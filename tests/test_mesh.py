@@ -74,3 +74,18 @@ def test_spatially_sharded_fft_engine():
     want = line_sted_image(SAMPLE, LBASE, LGEOM).image
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-5)
+
+
+def test_sweep_spec_check_without_execution():
+    """SURVEY 5.2.5: validate shapes/dtypes of the whole sweep by tracing
+    only (jax.eval_shape) -- multi-chip program structure is checkable
+    without devices."""
+    powers = jax.ShapeDtypeStruct((16,), jnp.float32)
+    sample = jax.ShapeDtypeStruct(SHAPE, jnp.float32)
+    out = jax.eval_shape(
+        lambda s, p: dose_matched_sweep(s, PBASE, LBASE, PGEOM, LGEOM,
+                                        p, 100.0),
+        sample, powers)
+    assert out.point.image.shape == (16, *SHAPE)
+    assert out.line.fwhm_x.shape == (16,)
+    assert out.point.image.dtype == jnp.float32
