@@ -1,0 +1,57 @@
+"""Padded (non-circular) acquisition boundaries.
+
+All convolutions are circular on the simulation grid (documented in
+``kernels/fftconv.py``); content near the field edges therefore wraps. For
+samples where that matters, acquire on a zero-padded grid and crop: with a
+margin of at least the PSF/illumination support, wrap contributions vanish
+and the result equals an open-boundary acquisition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from rescan_line_sted_tpu.config import Grid
+
+
+def pad_sample(sample: jnp.ndarray, margin: int) -> jnp.ndarray:
+    """Zero-pad a sample by ``margin`` pixels on every side."""
+    return jnp.pad(sample, ((margin, margin), (margin, margin)))
+
+
+def padded_geometry(geom, margin: int):
+    """The same geometry on the padded grid (chunk adjusted to divide)."""
+    h = geom.grid.height + 2 * margin
+    w = geom.grid.width + 2 * margin
+    # pick the largest chunk <= original that divides the padded step count
+    steps = h * w if type(geom).__name__ == "PointSTEDGeometry" else w
+    chunk = geom.chunk
+    while steps % chunk:
+        chunk -= 1
+    return dataclasses.replace(geom, grid=Grid(h, w), chunk=chunk)
+
+
+def acquire_padded(engine_fn, sample: jnp.ndarray, geom, margin: int,
+                   **kwargs):
+    """Run ``engine_fn(padded_sample, geom_padded, **kwargs)`` and crop.
+
+    ``engine_fn(sample, geom, **kwargs) -> AcquisitionResult``; the returned
+    result's image is cropped back to the original field (for rescan
+    canvases the x-crop scales by the rescan factor).
+    """
+    padded = pad_sample(sample, margin)
+    pgeom = padded_geometry(geom, margin)
+    res = engine_fn(padded, pgeom, **kwargs)
+    img = res.image
+    h, w = sample.shape[-2:]
+    if hasattr(geom, "rescan_factor"):
+        r = geom.rescan_factor
+        b = geom.binning
+        x0 = int(round(r * margin)) // b
+        wc = int(round(r * w)) // b
+        img = img[margin // b: margin // b + h // b, x0: x0 + wc]
+    else:
+        img = img[margin: margin + h, margin: margin + w]
+    return res.replace(image=img)
