@@ -10,3 +10,5 @@ from rescan_line_sted_tpu.imaging.frames import (  # noqa: F401
     line_sted_camera_frames,
     point_sted_camera_frames,
 )
+from rescan_line_sted_tpu.imaging.boundary import acquire_padded  # noqa: F401
+from rescan_line_sted_tpu.imaging.rescan import optimal_rescan_factor  # noqa: F401
