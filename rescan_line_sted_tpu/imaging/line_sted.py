@@ -94,7 +94,8 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         # per-step physics, scheduled as a single 512^3-class matmul.
         q = fftconv.convolve_profiles(slit, gx)
         p_mat = fftconv.circulant_matrix(params.brightness * eff * q)
-        img = jnp.dot(sample_y, p_mat, preferred_element_type=jnp.float32)
+        img = jnp.dot(sample_y, p_mat, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         return img if key is None else maybe_poisson(key, img)
 
     # Per-step noise: explicit camera frames, chunked lax.scan; the circular
@@ -110,7 +111,8 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         cam = maybe_poisson(
             k, params.brightness
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
         slits = shifted_profiles(slit, pos)                      # [C, W]
         cols = jnp.einsum("chw,cw->hc", cam, slits)              # [H, C]
         return img.at[:, pos].set(cols), None

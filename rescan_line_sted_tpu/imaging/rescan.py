@@ -129,17 +129,16 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
 
     # Fused megakernel path: the whole scan in ONE pallas_call with the
     # canvas resident in VMEM (kernels/rescan_fused.py). Applies when no
-    # per-frame noise or re-binning is needed; on-TPU by default.
+    # per-frame noise is needed; on-TPU by default.
     on_tpu = jax.default_backend() == "tpu"
-    if (b == 1 and not per_step
-            and (use_pallas or (use_pallas is None and on_tpu))):
+    if not per_step and (use_pallas or (use_pallas is None and on_tpu)):
         from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused
 
         pos = jnp.arange(w)
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
         canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,
-                              offsets, wc, interpret=not on_tpu)
+                              offsets, wc, binning=b, interpret=not on_tpu)
         if key is not None:
             canvas = maybe_poisson(key, canvas)
         return canvas
@@ -154,7 +153,8 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
         cam = maybe_poisson(
             k, params.brightness
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
         frames = _rebin(cam, b)                                  # [C, H/b, W/b]
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)

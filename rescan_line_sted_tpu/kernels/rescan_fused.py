@@ -31,7 +31,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_kernel(offsets_ref, eff_col_ref, sample_yt_ref, gx_mat_t_ref,
-                  out_ref, frame_scratch, *, w: int, w_pad: int):
+                  *rest, w: int, w_pad: int, binned_w: int):
+    if binned_w != w:  # detector re-binning as two more MXU matmuls
+        brow_ref, bcol_ref, out_ref, frame_scratch = rest
+    else:
+        out_ref, frame_scratch = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -43,9 +47,17 @@ def _fused_kernel(offsets_ref, eff_col_ref, sample_yt_ref, gx_mat_t_ref,
     ill = pltpu.roll(eff_col_ref[...], (i + w - w // 2) % w, 0)   # [W, 1]
     emitted_t = sample_yt_ref[...] * ill                          # [W, H]
     cam_t = jnp.dot(gx_mat_t_ref[...], emitted_t,
-                    preferred_element_type=jnp.float32)           # [W, H]
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)           # [W, H]
+    if binned_w != w:
+        cam_t = jnp.dot(brow_ref[...], cam_t,
+                        preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # [W/b, H]
+        cam_t = jnp.dot(cam_t, bcol_ref[...],
+                        preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # [W/b, H/b]
     frame_scratch[:] = jnp.zeros_like(frame_scratch)
-    frame_scratch[:w, :] = cam_t
+    frame_scratch[:binned_w, :] = cam_t
 
     off = offsets_ref[i]
     base = pl.multiple_of((off // 8) * 8, 8)
@@ -58,49 +70,68 @@ def _fused_kernel(offsets_ref, eff_col_ref, sample_yt_ref, gx_mat_t_ref,
 
 def rescan_fused(sample_y: jnp.ndarray, eff_scaled: jnp.ndarray,
                  gx_mat: jnp.ndarray, offsets: jnp.ndarray, wc: int,
+                 binning: int = 1,
                  interpret: bool | None = None) -> jnp.ndarray:
     """Fused rescan scan over all W column positions (see module doc).
 
     sample_y: [H, W] y-convolved sample; eff_scaled: [W] centered
     brightness-scaled effective excitation profile; gx_mat: [W, W] circulant
     of the detection x-profile (``cam = emitted @ gx_mat``); offsets: [W]
-    int32 canvas column offsets, one per scan position. Returns the
-    noise-free canvas [H, wc].
+    int32 canvas column offsets (in binned pixels), one per scan position;
+    ``binning`` sums camera pixels in b x b blocks before reassignment (two
+    extra in-kernel matmuls). Returns the noise-free canvas [H/b, wc].
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = sample_y.shape
+    b = binning
     n = offsets.shape[0]
     if n != w:
         raise ValueError("fused scan visits every column: need W offsets")
-    w_pad = _round_up(w, 8) + 8
+    hb, wb = h // b, w // b
+    w_pad = _round_up(wb, 8) + 8
     if w_pad > wc:
         raise ValueError("frame wider than canvas; use the lax.scan engine")
     offsets = jnp.asarray(offsets, jnp.int32) % wc
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((w, 1), lambda i, offs: (0, 0),
-                         memory_space=pltpu.VMEM),        # eff column
-            pl.BlockSpec((w, h), lambda i, offs: (0, 0),
-                         memory_space=pltpu.VMEM),        # sample_y^T
-            pl.BlockSpec((w, w), lambda i, offs: (0, 0),
-                         memory_space=pltpu.VMEM),        # circulant^T
-        ],
-        out_specs=pl.BlockSpec((wc + w_pad, h), lambda i, offs: (0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((w_pad, h), jnp.float32)],
-    )
+    in_specs = [
+        pl.BlockSpec((w, 1), lambda i, offs: (0, 0),
+                     memory_space=pltpu.VMEM),        # eff column
+        pl.BlockSpec((w, h), lambda i, offs: (0, 0),
+                     memory_space=pltpu.VMEM),        # sample_y^T
+        pl.BlockSpec((w, w), lambda i, offs: (0, 0),
+                     memory_space=pltpu.VMEM),        # circulant^T
+    ]
     # Kernel computes cam^T = M @ emitted^T; engine contract is
     # cam = emitted @ gx_mat, so M = gx_mat^T (a no-op for the even
     # detection profile's symmetric circulant, but exact in general).
+    args = [offsets, eff_scaled.reshape(w, 1), sample_y.T, gx_mat.T]
+    if b != 1:
+        eye = jnp.eye(wb, dtype=jnp.float32)
+        brow = jnp.repeat(eye, b, axis=1)             # [W/b, W] row binning
+        eyeh = jnp.eye(hb, dtype=jnp.float32)
+        bcol = jnp.repeat(eyeh, b, axis=0)            # [H, H/b] col binning
+        in_specs += [
+            pl.BlockSpec((wb, w), lambda i, offs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, hb), lambda i, offs: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [brow, bcol]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wc + w_pad, hb), lambda i, offs: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((w_pad, hb), jnp.float32)],
+    )
     padded_t = pl.pallas_call(
-        functools.partial(_fused_kernel, w=w, w_pad=w_pad),
-        out_shape=jax.ShapeDtypeStruct((wc + w_pad, h), jnp.float32),
+        functools.partial(_fused_kernel, w=w, w_pad=w_pad, binned_w=wb),
+        out_shape=jax.ShapeDtypeStruct((wc + w_pad, hb), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(offsets, eff_scaled.reshape(w, 1), sample_y.T, gx_mat.T)
+    )(*args)
     delta_t = padded_t[:wc].at[:w_pad].add(padded_t[wc:])
     return delta_t.T

@@ -63,3 +63,16 @@ def test_fused_kernel_direct():
         cols = (offsets[i] + np.arange(w)) % wc
         want[:, cols] += cam
     assert rel_err(got, want) < 1e-5
+
+
+def test_fused_with_binning_matches_unfused():
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    geom = RescanGeometry(Grid(*SHAPE), rescan_factor=2.0, binning=2,
+                          chunk=16)
+    want = rescanned_line_sted_image(SAMPLE, PARAMS, geom, method="scan",
+                                     use_pallas=False).image
+    got = rescanned_line_sted_image(SAMPLE, PARAMS, geom, method="scan",
+                                    use_pallas=True).image
+    assert got.shape == want.shape == (16, 32)
+    assert rel_err(got, want) < 2e-6
