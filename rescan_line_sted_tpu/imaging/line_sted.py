@@ -94,8 +94,9 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         # per-step physics, scheduled as a single 512^3-class matmul.
         q = fftconv.convolve_profiles(slit, gx)
         p_mat = fftconv.circulant_matrix(params.brightness * eff * q)
-        img = jnp.dot(sample_y, p_mat, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+        img = jnp.dot(sample_y, p_mat,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return img if key is None else maybe_poisson(key, img)
 
     # Per-step noise: explicit camera frames, chunked lax.scan; the circular
@@ -112,7 +113,7 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
             k, params.brightness
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
                          preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST))
+                         precision=jax.lax.Precision.HIGHEST))
         slits = shifted_profiles(slit, pos)                      # [C, W]
         cols = jnp.einsum("chw,cw->hc", cam, slits)              # [H, C]
         return img.at[:, pos].set(cols), None

@@ -12,8 +12,8 @@ Methods:
 * ``"analytic"``: canvas = ``conv(upsample_x(sample, R), H)`` with the
   closed-form rescan kernel H, one Poisson draw (exact statistics; integer R,
   ``binning=1``; matches the scan path away from the circular seam).
-* ``"scan"``: the per-scan-position process. On TPU with ``binning=1`` and
-  collapsed noise the whole scan runs as ONE fused Pallas megakernel
+* ``"scan"``: the per-scan-position process. On TPU with collapsed noise
+  the whole scan runs as ONE fused Pallas megakernel
   (``kernels/rescan_fused.py``: in-register illumination roll -> emit -> MXU
   circulant matmul -> scatter-accumulate, canvas VMEM-resident). Otherwise a
   ``lax.scan`` over chunked positions with the Pallas rescan-accumulate
@@ -154,7 +154,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
             k, params.brightness
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
                          preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST))
+                         precision=jax.lax.Precision.HIGHEST))
         frames = _rebin(cam, b)                                  # [C, H/b, W/b]
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)

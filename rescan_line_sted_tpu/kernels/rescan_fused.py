@@ -1,7 +1,7 @@
 """Fused rescan scan-loop megakernel.
 
 One ``pallas_call`` executes the ENTIRE rescanned line-STED scan (collapsed
-noise mode, binning=1). Grid step i IS scan position i: the kernel rotates
+noise mode, any binning). Grid step i IS scan position i: the kernel rotates
 the (brightness-scaled, depleted) excitation profile to the scan position
 in-register (``pltpu.roll`` with a dynamic shift), emits
 (``sample_y^T * ill``), x-convolves with the detection profile as an MXU
@@ -48,14 +48,14 @@ def _fused_kernel(offsets_ref, eff_col_ref, sample_yt_ref, gx_mat_t_ref,
     emitted_t = sample_yt_ref[...] * ill                          # [W, H]
     cam_t = jnp.dot(gx_mat_t_ref[...], emitted_t,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)           # [W, H]
+                    precision=jax.lax.Precision.HIGHEST)          # [W, H]
     if binned_w != w:
         cam_t = jnp.dot(brow_ref[...], cam_t,
                         preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)       # [W/b, H]
+                        precision=jax.lax.Precision.HIGHEST)  # [W/b, H]
         cam_t = jnp.dot(cam_t, bcol_ref[...],
                         preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)       # [W/b, H/b]
+                        precision=jax.lax.Precision.HIGHEST)  # [W/b, H/b]
     frame_scratch[:] = jnp.zeros_like(frame_scratch)
     frame_scratch[:binned_w, :] = cam_t
 
