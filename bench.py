@@ -79,6 +79,26 @@ def bench_scan_steps_per_sec(noise_mode: str):
     return SCAN_SIZE / dt, compile_s, dt
 
 
+def bench_rescan_steps_per_sec():
+    """Rescanned line-STED scan throughput (fused Pallas megakernel on TPU)."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    grid = Grid(SCAN_SIZE, SCAN_SIZE)
+    geom = RescanGeometry(grid, rescan_factor=2.0, chunk=32)
+    sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
+    params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+    fn = jax.jit(lambda s, k: rescanned_line_sted_image(
+        s, params, geom, key=k, method="scan").image)
+    jax.block_until_ready(fn(sample, jax.random.key(RUN_SEED + 500)))
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(sample, jax.random.key(RUN_SEED + 501 + i))
+    jax.block_until_ready(out)
+    return SCAN_SIZE * iters / (time.perf_counter() - t0)
+
+
 def bench_tpu_sweep():
     grid = Grid(SWEEP_SIZE, SWEEP_SIZE)
     pgeom, lgeom = PointSTEDGeometry(grid), LineSTEDGeometry(grid)
@@ -147,6 +167,7 @@ def main():
     steps_per_sec, scan_compile_s, scan_dt = bench_scan_steps_per_sec(
         "collapsed")
     steps_per_sec_ps, _, _ = bench_scan_steps_per_sec("per_step")
+    rescan_steps_per_sec = bench_rescan_steps_per_sec()
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
     speedup = oracle_sweep_s / tpu_sweep_s
@@ -168,6 +189,8 @@ def main():
             "line_sted_scan_steps_per_sec_chip": round(steps_per_sec, 1),
             "line_sted_scan_steps_per_sec_chip_per_step_noise":
                 round(steps_per_sec_ps, 1),
+            "rescan_scan_steps_per_sec_chip_fused": round(
+                rescan_steps_per_sec, 1),
             "line_sted_scan_size": SCAN_SIZE,
             "scan_wall_s_per_image": round(scan_dt, 4),
             "compile_s": {"scan": round(scan_compile_s, 1),

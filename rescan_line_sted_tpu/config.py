@@ -97,6 +97,9 @@ class RescanGeometry:
     def __post_init__(self):
         if self.grid.height % self.binning or self.grid.width % self.binning:
             raise ValueError("binning must divide the grid shape")
+        if self.rescan_factor < 1.0:
+            raise ValueError("rescan_factor must be >= 1 (canvas must hold "
+                             "a full camera frame)")
 
     @property
     def num_steps(self) -> int:

@@ -79,3 +79,25 @@ def test_collapsed_and_per_step_noise_same_distribution():
         noise_mode="per_step").image)(keys))
     assert abs(c.mean() - p.mean()) / c.mean() < 0.01
     assert abs(c.var(axis=0).mean() - p.var(axis=0).mean()) / c.var(axis=0).mean() < 0.15
+
+
+def test_rescan_collapsed_and_per_step_same_distribution():
+    """Rescan canvas: collapsed draw == per-frame draws, distributionally
+    (each camera pixel reassigns to exactly one canvas pixel)."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    shape = (32, 32)
+    sample = samples.rings(shape, period=10.0)
+    geom = RescanGeometry(Grid(*shape), rescan_factor=2.0, chunk=16)
+    params = LineSTEDParams.create(depletion=4.0, brightness=50.0)
+    n = 48
+    keys = jax.random.split(jax.random.key(5), n)
+    c = np.asarray(jax.vmap(lambda k: rescanned_line_sted_image(
+        sample, params, geom, key=k, method="scan",
+        noise_mode="collapsed").image)(keys))
+    p = np.asarray(jax.vmap(lambda k: rescanned_line_sted_image(
+        sample, params, geom, key=k, method="scan",
+        noise_mode="per_step").image)(keys))
+    assert abs(c.mean() - p.mean()) / c.mean() < 0.01
+    assert abs(c.var(axis=0).mean() - p.var(axis=0).mean()) / c.var(axis=0).mean() < 0.15

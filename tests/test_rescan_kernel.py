@@ -63,3 +63,10 @@ def test_pallas_kernel_under_vmap():
         want = rescan_accumulate_reference(canvases[i], frames[i], offsets[i])
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                    rtol=1e-6, atol=1e-5)
+
+
+def test_rescan_factor_validation():
+    from rescan_line_sted_tpu.config import Grid, RescanGeometry
+
+    with pytest.raises(ValueError):
+        RescanGeometry(Grid(32, 32), rescan_factor=0.5)
