@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The experimental 'axon' TPU plugin registers itself even when JAX_PLATFORMS
 # requests cpu; force the config (must happen before first backend use).
+# Set RLS_TEST_TPU=1 to run the suite on attached TPU hardware instead
+# (slower: every program compiles through the remote tunnel).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("RLS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
