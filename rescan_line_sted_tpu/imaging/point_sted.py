@@ -93,7 +93,11 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         img = params.brightness * fftconv.fft_correlate(sample, p2d)
         return img if key is None else maybe_poisson(key, img)
 
-    det_otf = fftconv.kernel_to_otf(det)
+    # Per-step camera synthesis with separable detection: two 1D
+    # convolutions instead of a 2D FFT pair (the 2D illumination must stay
+    # inside the loop, but det = gy (x) gx always factorizes).
+    otf_y = fftconv.profile_to_otf1d(psfs.detection_profile(h, params.sigma_det))
+    otf_x = fftconv.profile_to_otf1d(psfs.detection_profile(w, params.sigma_det))
     # Raster scan: step s visits pixel (s // W, s % W).
     steps = jnp.arange(num_steps).reshape(n_chunks, chunk)
     xs = (steps, jax.random.split(key, n_chunks))
@@ -102,8 +106,10 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         pos_flat, k = chunk_in
         pos = jnp.stack([pos_flat // w, pos_flat % w], axis=-1)  # [C, 2] (y, x)
         ill = shifted_images(eff, pos)                           # [C, H, W]
-        cam = maybe_poisson(k, params.brightness
-                            * fftconv.convolve_otf(ill * sample, det_otf))
+        blurred = fftconv.convolve_otf1d(
+            fftconv.convolve_otf1d(ill * sample, otf_x, axis=-1, n=w),
+            otf_y, axis=-2, n=h)
+        cam = maybe_poisson(k, params.brightness * blurred)
         pinholes = shifted_images(pin, pos)                      # [C, H, W]
         vals = jnp.einsum("chw,chw->c", cam, pinholes)
         return img.at[pos[:, 0], pos[:, 1]].set(vals), None

@@ -70,3 +70,22 @@ def test_vmap_with_noise_keys():
     assert (arr == np.round(arr)).all()
     # different keys -> different noise
     assert np.abs(arr[0] - arr[1]).max() > 0
+
+
+def test_nested_vmap_sweep_over_samples():
+    """Two-level batching: dose sweep vmapped over a sample batch."""
+    from rescan_line_sted_tpu.sweeps import dose_matched_sweep
+
+    pgeom = PointSTEDGeometry(Grid(*SHAPE), chunk=32)
+    lgeom = LineSTEDGeometry(Grid(*SHAPE), chunk=16)
+    powers = jnp.asarray([0.0, 4.0])
+    f = jax.jit(jax.vmap(lambda s: dose_matched_sweep(
+        s, PP, LP, pgeom, lgeom, powers, 100.0)))
+    out = f(BATCH)
+    assert out.point.image.shape == (3, 2, *SHAPE)
+    for i in range(3):
+        single = dose_matched_sweep(BATCH[i], PP, LP, pgeom, lgeom,
+                                    powers, 100.0)
+        np.testing.assert_allclose(np.asarray(out.point.image[i]),
+                                   np.asarray(single.point.image),
+                                   rtol=1e-5, atol=1e-4)

@@ -101,3 +101,27 @@ def test_rescan_collapsed_and_per_step_same_distribution():
         noise_mode="per_step").image)(keys))
     assert abs(c.mean() - p.mean()) / c.mean() < 0.01
     assert abs(c.var(axis=0).mean() - p.var(axis=0).mean()) / c.var(axis=0).mean() < 0.15
+
+
+def test_point_per_step_mean_matches_noise_free():
+    """Point-STED per-step draws average to the noise-free image (covers
+    the separable-conv per-step camera path)."""
+    from rescan_line_sted_tpu.config import PointSTEDGeometry, PointSTEDParams
+    from rescan_line_sted_tpu.imaging import point_sted_image
+
+    shape = (24, 24)
+    sample = samples.rings(shape, period=8.0)
+    geom = PointSTEDGeometry(Grid(*shape), chunk=96)
+    params = PointSTEDParams.create(depletion=3.0, brightness=40.0,
+                                    sigma_exc=2.0, sigma_det=2.0,
+                                    sigma_dep=2.0, pinhole_radius=2.5)
+    nf = np.asarray(point_sted_image(sample, params, geom).image)
+    n = 32
+    keys = jax.random.split(jax.random.key(7), n)
+    noisy = np.asarray(jax.vmap(lambda k: point_sted_image(
+        sample, params, geom, key=k, method="scan",
+        noise_mode="per_step").image)(keys))
+    avg = noisy.mean(axis=0)
+    se = np.sqrt(np.maximum(nf, 1e-3) / n)
+    frac_bad = np.mean(np.abs(avg - nf) > 5 * se)
+    assert frac_bad < 0.02
