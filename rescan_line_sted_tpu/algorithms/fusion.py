@@ -2,15 +2,18 @@
 
 ``richardson_lucy_views`` (richardson_lucy.py) covers views modeled by plain
 centered PSFs on the sample grid. Rescanned line-STED views live on the
-**canvas** grid -- the forward model is ``y = b * conv(upsample_x(est, R), H)``
--- so fusion needs RL in general linear-operator form:
+**canvas** grid -- the forward model is the exact closed-form acquisition
+operator ``analytic.rescan_canvas_mean`` (any rescan factor, any detector
+binning) -- so fusion needs RL in general linear-operator form:
 
     est <- est * [ sum_v A_v^T(data_v / A_v(est)) ] / [ sum_v A_v^T(1) ]
 
-with ``A^T`` the adjoint (correlate + x-subsample for rescan; rotation's
-adjoint is rotation by the opposite angle). This fuses multi-orientation
-*rescanned* acquisitions -- the paper's headline modality -- directly into a
-sample-grid estimate, deconvolving and de-rescanning in one fixed-point loop.
+``A^T`` is the EXACT adjoint, obtained with ``jax.linear_transpose`` of the
+forward map (including the view rotation -- the true transpose of the
+bilinear-resampling rotation is its scatter adjoint, not rotation by the
+opposite angle). This fuses multi-orientation *rescanned* acquisitions --
+the paper's headline modality -- directly into a sample-grid estimate,
+deconvolving, de-binning, and de-rescanning in one fixed-point loop.
 """
 
 from __future__ import annotations
@@ -19,12 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from rescan_line_sted_tpu.config import RescanGeometry, RescanParams
-from rescan_line_sted_tpu.imaging.analytic import (
-    rescan_system_kernel,
-    upsample_x,
-)
+from rescan_line_sted_tpu.imaging.analytic import rescan_canvas_mean
 from rescan_line_sted_tpu.imaging.rescan import rescanned_line_sted_image
-from rescan_line_sted_tpu.kernels import fftconv
 from rescan_line_sted_tpu.utils.rotate import rotate_image
 
 
@@ -61,27 +60,21 @@ def rescan_operator(geom: RescanGeometry, params: RescanParams,
                     angle=None) -> tuple:
     """(forward, adjoint) pair of one rescanned line-STED view.
 
-    forward: sample grid [H, W] -> canvas [H, R*W];
-    adjoint: canvas -> sample grid. ``angle`` (radians) composes a scan-axis
+    forward: sample grid [H, W] -> canvas [H/b, round(R*W)/b] (the exact
+    acquisition mean, any R / binning); adjoint: the exact transpose via
+    ``jax.linear_transpose``. ``angle`` (radians) composes a scan-axis
     rotation: the view scans along direction ``angle``.
     """
-    r = int(round(geom.rescan_factor))
-    hc, wc = geom.canvas_shape
-    otf = fftconv.kernel_to_otf(rescan_system_kernel(geom, params))
-    b = params.brightness
-
     def fwd(est):
         if angle is not None:
             est = rotate_image(est, -angle)
-        up = upsample_x(est, r, wc)
-        return b * fftconv.convolve_otf(up, otf)
+        return rescan_canvas_mean(est, params, geom)
+
+    primal = jax.ShapeDtypeStruct(geom.grid.shape, jnp.float32)
 
     def adj(y):
-        c = b * fftconv.correlate_otf(y, otf)
-        c = c[..., ::r]
-        if angle is not None:
-            c = rotate_image(c, angle)
-        return c
+        (x,) = jax.linear_transpose(fwd, primal)(y)
+        return x
 
     return fwd, adj
 
@@ -127,12 +120,13 @@ def rescan_fusion(
     ``angles`` must be *static* Python floats (they parameterize the per-view
     operators); under jit pass a tuple, not a traced array.
     """
-    if geom.binning != 1:
-        raise NotImplementedError("rescan fusion requires binning=1")
     h, w = geom.grid.shape
     ops = [rescan_operator(geom, params, angle=float(a)) for a in angles]
     data = [canvases[v] for v in range(canvases.shape[0])]
     if init is None:
+        # each canvas pixel sums binning^2 camera pixels spread over R*W/b
+        # columns; undo both to land near the sample's mean intensity
         init = jnp.full((h, w), jnp.mean(canvases) * geom.rescan_factor
-                        / jnp.maximum(params.brightness, 1e-30))
+                        / (geom.binning ** 2
+                           * jnp.maximum(params.brightness, 1e-30)))
     return richardson_lucy_operator(data, ops, num_iter, init)

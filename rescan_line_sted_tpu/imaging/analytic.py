@@ -24,8 +24,12 @@ sum_a sample(a) K(a - r)``; see ``kernels/fftconv.py``):
   ``canvas(y, u) = sum_a sample(., a) H(y-., u - R*a)``, i.e. the sample
   **upsampled by R along x** convolved with the rescan kernel
   ``H(vy, vx) = sum_t e(t) det(vy, vx + (R-1) t)``
-  = ``corr_x(det, upsample_x(e, R-1))``. Requires integer R; differs from
-  the per-step process only through circular wrap (the scan path wraps
+  = ``corr_x(det, upsample_x(e, R-1))``. For non-integer R the subpixel
+  (band-limited Fourier) placement keeps this form with phase-ramp
+  upsampling; detector re-binning by b makes the map b-periodically
+  shift-variant, splitting it into b column-phase convolutions (one kernel
+  ``H_rho`` per residue ``a mod b``, see ``rescan_x_kernels_rfft``). Differs
+  from the per-step process only through circular wrap (the scan path wraps
   illumination mod the sample width W but frames mod the canvas width R*W).
   For samples that are zero within ~PSF support of their x-edges the two
   paths agree everywhere on the canvas -- pad the sample if edge wrap
@@ -38,7 +42,9 @@ the resolution-metric input (FWHM of K), mirroring the reference's
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rescan_line_sted_tpu.config import (
     LineSTEDParams,
@@ -86,37 +92,154 @@ def line_system_kernel(
     return eff[None, :] * flip_centered(d)
 
 
-def rescan_system_kernel(
+def _np_phases(theta: "np.ndarray") -> jnp.ndarray:
+    """f64 numpy ``exp(-2i pi theta)`` -> complex64 device constant.
+
+    Phase arguments reach ~1e4 radians at large widths; computing them in
+    f32 inside jit loses ~1e-4 of phase and breaks the 1e-5 parity bar, so
+    every *static* phase table is built in float64 on the host. Shipped as
+    a (cos, sin) f32 pair combined on device: complex64 host->device
+    transfer is UNIMPLEMENTED on some TPU runtimes (the axon tunnel).
+    """
+    z = np.exp(-2j * np.pi * theta)
+    return jax.lax.complex(jnp.asarray(z.real.astype(np.float32)),
+                           jnp.asarray(z.imag.astype(np.float32)))
+
+
+def rescan_x_kernels_rfft(
     geom: RescanGeometry, params: LineSTEDParams
 ) -> jnp.ndarray:
-    """Centered rescan kernel H on the canvas grid, [H, Wc].
+    """rfft-domain column-phase rescan kernels ``H_rho`` [b, Wc//2+1].
 
-    ``H(vy, vx) = sum_t e_eff(t) det(vy, vx + (R-1) t)``: the detection PSF
-    sheared by the (R-1)-stretched effective excitation line. The noise-free
-    canvas is ``brightness * conv(upsample_x(sample, R), H)``. Requires
-    integer ``rescan_factor`` and ``binning == 1``.
+    Derivation (subpixel reassignment, camera indices unwrapped -- exact for
+    samples zero near their x-edges, see module doc). With sample column
+    ``a = b*m + rho`` and scan position ``x0 = a - t``::
+
+        canvas(U) = sum_rho sum_m sYb(b m + rho) H_rho(U - R m)
+        H_rho(V)  = sum_t eff(t) sum_X d_rho(X) D_Wc(V - X - (R-1)(rho-t)/b)
+        d_rho(X)  = sum_j det_x(b X + j - rho)        (phase-rho binned det)
+
+    where ``D_Wc`` is the canvas-ring Dirichlet kernel (what an exact FFT
+    phase-ramp shift interpolates with). Returned in the rfft domain:
+    ``H_rho_hat(k) = D_hat_rho(k) * E_hat_rho(k)`` with the centered index
+    conventions of the scan engine (illumination peak at ``w//2``).
+    Brightness is NOT included.
     """
-    r = geom.rescan_factor
-    if geom.binning != 1 or abs(r - round(r)) > 1e-9:
-        raise NotImplementedError(
-            "analytic rescan kernel requires integer R and binning=1; "
-            "use the scan engine for general geometry")
-    r = int(round(r))
+    b = geom.binning
+    r = float(geom.rescan_factor)
     h, w = geom.grid.shape
     hc, wc = geom.canvas_shape
+    kk = np.arange(wc // 2 + 1, dtype=np.float64)
+
     exc = psfs.line_excitation_profile(w, params.sigma_exc)
     dep = psfs.stripe_depletion_profile(w, params.stripe_period)
     eff = psfs.effective_psf(exc, dep, params.depletion)
-    det = psfs.detection_psf((hc, wc), params.sigma_det)
-    # upsample_x(e, R-1) on the canvas width: e(t) placed at x = (R-1) * t.
-    e_up = jnp.zeros((wc,), det.dtype)
-    t = jnp.arange(w) - w // 2
-    e_up = e_up.at[((r - 1) * t + wc // 2) % wc].add(eff)
-    # H = corr_x(det, e_up): H(vx) = sum_t e_up(t') det(vx + t') with t' centered.
-    e_k = jnp.fft.ifftshift(e_up)
-    return jnp.fft.irfft(
-        jnp.fft.rfft(det, axis=-1) * jnp.conj(jnp.fft.rfft(e_k)), n=wc, axis=-1
-    )
+    det_x = psfs.detection_profile(w, params.sigma_det)
+
+    # d_rho[X] = sum_j det_x[(b X + j - rho) % w], all rho at once. [b, w/b]
+    x_idx = np.arange(w // b)
+    j_idx = np.arange(b)
+    rho_idx = np.arange(b)
+    gather = (b * x_idx[None, :, None] + j_idx[None, None, :]
+              - rho_idx[:, None, None]) % w
+    d = det_x[gather].sum(-1)                                  # [b, w/b]
+    # D_hat_rho(k) = rfft_pad(d_rho)(k) * exp(+2i pi k c / wc), c = w//(2b)
+    # (the X index is centered at c on the canvas ring).
+    center_ph = _np_phases(-kk * (w // (2 * b)) / wc)          # e^{+2i pi ...}
+    d_hat = jnp.fft.rfft(d, n=wc, axis=-1) * center_ph[None, :]
+
+    # E_hat_rho(k) = sum_t eff[t] exp(-2i pi k (R-1)(rho - t_c) / (b wc))
+    t_c = np.arange(w, dtype=np.float64) - w // 2
+    pe = _np_phases(-kk[None, :] * (r - 1.0) * t_c[:, None] / (b * wc))
+    e_base = jnp.einsum("t,tk->k", eff.astype(jnp.complex64), pe,
+                        precision=jax.lax.Precision.HIGHEST)   # [K]
+    rho_ph = _np_phases(kk[None, :] * (r - 1.0) * rho_idx[:, None]
+                        / (b * wc))                            # [b, K]
+    return d_hat * e_base[None, :] * rho_ph
+
+
+def _binned_row_matrix(h: int, b: int, det_y: jnp.ndarray) -> jnp.ndarray:
+    """[h, h/b] matrix G with ``(G^T @ sample)[Y] = sum_j conv_y(sample,
+    det_y)[b Y + j]`` -- the y-convolve + row-bin of the scan engine."""
+    my = fftconv.circulant_matrix(det_y)                       # [h, h]
+    return my.reshape(h, h // b, b).sum(-1)
+
+
+def rescan_canvas_mean(
+    sample: jnp.ndarray,
+    params: LineSTEDParams,
+    geom: RescanGeometry,
+) -> jnp.ndarray:
+    """Noise-free rescanned canvas [H/b, Wc]: exact closed form for ANY
+    ``rescan_factor >= 1`` (fractional R via band-limited subpixel
+    reassignment) and ANY ``binning``.
+
+    One y matmul + b phase-placement matmuls + one irfft; agrees with the
+    subpixel scan engine to float precision away from the circular seam
+    (parity-tested against the f64 oracle at R=1.5, binning=2).
+    """
+    b = geom.binning
+    r = float(geom.rescan_factor)
+    h, w = geom.grid.shape
+    hc, wc = geom.canvas_shape
+    kk = np.arange(wc // 2 + 1, dtype=np.float64)
+
+    det_y = psfs.detection_profile(h, params.sigma_det)
+    gy = _binned_row_matrix(h, b, det_y)                       # [h, hc]
+    s_yb = jnp.einsum("hY,hw->Yw", gy, sample,
+                      precision=jax.lax.Precision.HIGHEST)     # [hc, w]
+    # split columns by phase: a = b*m + rho -> [b(rho), hc, w/b(m)]
+    s_ph = s_yb.reshape(hc, w // b, b).transpose(2, 0, 1)
+
+    h_hat = rescan_x_kernels_rfft(geom, params)                # [b, K]
+    pm = _np_phases(kk[None, :] * r * np.arange(w // b)[:, None]
+                    / wc)                                      # [w/b, K]
+    canvas_rfft = jnp.einsum("pYm,mk,pk->Yk",
+                             s_ph.astype(jnp.complex64), pm, h_hat,
+                             precision=jax.lax.Precision.HIGHEST)
+    return params.brightness * jnp.fft.irfft(canvas_rfft, n=wc, axis=-1)
+
+
+def rescan_system_kernel(
+    geom: RescanGeometry, params: LineSTEDParams
+) -> jnp.ndarray:
+    """Centered effective rescan kernel H on the canvas grid, [H/b, Wc].
+
+    ``H(vy, vx) = sum_t e_eff(t) det(vy, vx + (R-1) t)``: the detection PSF
+    sheared by the (R-1)-stretched effective excitation line; any
+    ``rescan_factor`` (fractional R via exact phase placement). With
+    ``binning > 1`` the system is b-periodically shift-variant; the returned
+    kernel is the position-aligned average over the b column/row phases (the
+    exact per-phase kernels are ``rescan_x_kernels_rfft``). The noise-free
+    canvas is ``brightness * conv(place_x(sample, R), H)``; for b = 1 this
+    is exact and matches ``rescan_canvas_mean``.
+    """
+    b = geom.binning
+    h, w = geom.grid.shape
+    hc, wc = geom.canvas_shape
+    kk = np.arange(wc // 2 + 1, dtype=np.float64)
+    rho = np.arange(b, dtype=np.float64)
+
+    # x: phase rho's response sits at relative offset -rho/b on the canvas
+    # (camera-column quantization); align each before averaging.
+    h_hat = rescan_x_kernels_rfft(geom, params)                # [b, K]
+    align = _np_phases(kk[None, :] * rho[:, None] / (b * wc))  # shift +rho/b
+    hx = jnp.fft.fftshift(
+        jnp.fft.irfft((h_hat * align).mean(0), n=wc))          # [wc] centered
+
+    # y: binned detection profile, phase-aligned the same way.
+    det_y = psfs.detection_profile(h, params.sigma_det)
+    y_idx = np.arange(hc)
+    gather = (b * y_idx[None, :, None] + np.arange(b)[None, None, :]
+              - np.arange(b)[:, None, None]) % h
+    dy = det_y[gather].sum(-1)                                 # [b, hc]
+    ky = np.arange(hc // 2 + 1, dtype=np.float64)
+    centery = _np_phases(-ky * (h // (2 * b)) / hc)
+    aligny = _np_phases(ky[None, :] * rho[:, None] / (b * hc))
+    gy = jnp.fft.fftshift(jnp.fft.irfft(
+        (jnp.fft.rfft(dy, n=hc, axis=-1) * centery[None, :]
+         * aligny).mean(0), n=hc))                             # [hc] centered
+    return jnp.outer(gy, hx)
 
 
 def upsample_x(sample: jnp.ndarray, factor: int, out_width: int) -> jnp.ndarray:

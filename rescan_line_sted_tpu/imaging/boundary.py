@@ -49,6 +49,12 @@ def acquire_padded(engine_fn, sample: jnp.ndarray, geom, margin: int,
     if hasattr(geom, "rescan_factor"):
         r = geom.rescan_factor
         b = geom.binning
+        if margin % b or int(round(r * margin)) % b:
+            raise ValueError(
+                f"margin={margin} must align with binning={b}: both margin "
+                f"and round(rescan_factor*margin)={int(round(r * margin))} "
+                "must be divisible by binning, or the binned crop shifts off "
+                "the original field")
         x0 = int(round(r * margin)) // b
         wc = int(round(r * w)) // b
         img = img[margin // b: margin // b + h // b, x0: x0 + wc]

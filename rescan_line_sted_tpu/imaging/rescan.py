@@ -9,16 +9,28 @@ accumulated into the output canvas at column offset
 
 Methods:
 
-* ``"analytic"``: canvas = ``conv(upsample_x(sample, R), H)`` with the
-  closed-form rescan kernel H, one Poisson draw (exact statistics; integer R,
-  ``binning=1``; matches the scan path away from the circular seam).
-* ``"scan"``: the per-scan-position process. On TPU with collapsed noise
-  the whole scan runs as ONE fused Pallas megakernel
-  (``kernels/rescan_fused.py``: in-register illumination roll -> emit -> MXU
-  circulant matmul -> scatter-accumulate, canvas VMEM-resident). Otherwise a
-  ``lax.scan`` over chunked positions with the Pallas rescan-accumulate
-  scatter kernel (``kernels/rescan_accumulate.py``) or the XLA ``.at[].add``
-  fallback.
+* ``"analytic"``: the closed-form canvas mean (``analytic.rescan_canvas_mean``,
+  exact for ANY rescan factor -- fractional R via band-limited subpixel
+  placement -- and any binning), one Poisson draw. Matches the subpixel scan
+  path away from the circular seam.
+* ``"scan"``: the per-scan-position process. ``reassignment="rounded"``
+  snaps each frame's offset to the nearest binned canvas pixel (exact when
+  ``(R-1)/b`` is an integer); on TPU with collapsed noise it runs as ONE
+  fused Pallas megakernel (``kernels/rescan_fused.py``: in-register
+  illumination roll -> emit -> MXU circulant matmul -> scatter-accumulate,
+  canvas VMEM-resident), else a ``lax.scan`` with the Pallas
+  rescan-accumulate scatter kernel or the XLA ``.at[].add`` fallback.
+  ``reassignment="subpixel"`` places every frame at its exact fractional
+  offset by accumulating in the canvas rfft domain with per-position phase
+  ramps -- the ideal continuous rescan sweep. ``"auto"`` (default) picks
+  subpixel exactly when the offsets are fractional.
+
+Noise exactness: with integer reassignment each camera pixel lands on ONE
+canvas pixel, so collapsed Poisson is distributionally exact
+(docs/DERIVATIONS.md). Subpixel placement spreads a camera pixel over the
+canvas band-limitedly, so ``noise_mode="collapsed"`` then means "shot noise
+of the ideal canvas" (the sum of interpolated Poissons is no longer exactly
+Poisson); use ``noise_mode="per_step"`` for camera-faithful statistics.
 """
 
 from __future__ import annotations
@@ -46,19 +58,21 @@ def rescanned_line_sted_image(
     method: str = "analytic",
     use_pallas: bool | None = None,
     noise_mode: str = "collapsed",
+    reassignment: str = "auto",
 ) -> AcquisitionResult:
     """Simulate a full rescanned line-STED acquisition of ``sample``.
 
-    Returns the rescanned canvas ``[H/b, round(R*W)/b]``. ``noise_mode``
-    (scan path): ``"collapsed"`` draws once from the accumulated canvas mean
-    -- statistically exact because re-binning and reassignment map each
-    camera pixel to exactly one canvas pixel; ``"per_step"`` samples every
-    camera frame.
+    Returns the rescanned canvas ``[H/b, round(R*W)/b]``. Any
+    ``rescan_factor >= 1`` (fractional R is placed subpixel-exactly) and any
+    binning. ``reassignment`` ("auto" | "rounded" | "subpixel", scan path
+    only) controls frame placement; see the module doc for the noise-mode
+    semantics of each.
     """
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
-        image = _scan(sample, params, geom, key, use_pallas, noise_mode)
+        image = _scan(sample, params, geom, key, use_pallas, noise_mode,
+                      reassignment)
     else:
         raise ValueError(f"unknown method {method!r}")
     return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
@@ -89,12 +103,7 @@ def optimal_rescan_factor(params: RescanParams, width: int) -> jnp.ndarray:
 
 
 def _analytic(sample, params, geom, key):
-    r = int(round(geom.rescan_factor))
-    hc, wc = geom.canvas_shape
-    h_kernel = analytic.rescan_system_kernel(geom, params)
-    up = analytic.upsample_x(sample, r, wc)
-    mean = params.brightness * fftconv.fft_convolve(up, h_kernel)
-    return maybe_poisson(key, mean)
+    return maybe_poisson(key, analytic.rescan_canvas_mean(sample, params, geom))
 
 
 def _rebin(cam: jnp.ndarray, b: int) -> jnp.ndarray:
@@ -105,9 +114,12 @@ def _rebin(cam: jnp.ndarray, b: int) -> jnp.ndarray:
     return cam.reshape(*lead, h // b, b, w // b, b).sum(axis=(-3, -1))
 
 
-def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
+def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
+          reassignment="auto"):
     if noise_mode not in ("collapsed", "per_step"):
         raise ValueError(f"unknown noise_mode {noise_mode!r}")
+    if reassignment not in ("auto", "rounded", "subpixel"):
+        raise ValueError(f"unknown reassignment {reassignment!r}")
     shape = geom.grid.shape
     h, w = shape
     b = geom.binning
@@ -117,6 +129,11 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
     n_chunks = w // chunk
     hc, wc = geom.canvas_shape
     per_step = key is not None and noise_mode == "per_step"
+    if reassignment == "auto":
+        # offsets (R-1)*x0/b are all integral iff (R-1)/b is an integer
+        step = (geom.rescan_factor - 1.0) / b
+        reassignment = "rounded" if abs(step - round(step)) < 1e-9 \
+            else "subpixel"
 
     eff = effective_line_profile(w, params)
     # Separable detection; convy hoisted out of the loop, x-convolution as a
@@ -129,9 +146,13 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
 
     # Fused megakernel path: the whole scan in ONE pallas_call with the
     # canvas resident in VMEM (kernels/rescan_fused.py). Applies when no
-    # per-frame noise is needed; on-TPU by default.
+    # per-frame noise is needed; on-TPU by default. Narrow canvases
+    # (rescan_factor close to 1, where the 8-aligned padded frame would not
+    # fit) route to the lax.scan engine, whose scatter handles any width.
     on_tpu = jax.default_backend() == "tpu"
-    if not per_step and (use_pallas or (use_pallas is None and on_tpu)):
+    fused_fits = (w // b + 7) // 8 * 8 + 8 <= wc
+    if reassignment == "rounded" and not per_step and fused_fits and (
+            use_pallas or (use_pallas is None and on_tpu)):
         from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused
 
         pos = jnp.arange(w)
@@ -145,9 +166,21 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
 
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
+    subpixel = reassignment == "subpixel"
+    if subpixel:
+        # Per-position canvas phase ramps exp(-2i pi k off/wc), built in f64
+        # on the host (f32 phase arguments lose ~1e-4 at these magnitudes).
+        import numpy as np
+        kk = np.arange(wc // 2 + 1, dtype=np.float64)
+        offs = (float(geom.rescan_factor) - 1.0) * np.arange(w) / b
+        ph = np.exp(-2j * np.pi * kk[None, :] * offs[:, None] / wc)
+        # Kept as a (cos, sin) f32 pair: complex64 host->device transfer AND
+        # complex gather are UNIMPLEMENTED on some TPU runtimes (the axon
+        # tunnel); gather the real parts, form complex on device after.
+        pos_ph_re = jnp.asarray(ph.real.astype(np.float32))      # [W, K]
+        pos_ph_im = jnp.asarray(ph.imag.astype(np.float32))
 
-    def body(canvas, chunk_in):
-        pos, k = chunk_in if per_step else (chunk_in, None)
+    def frames_for(pos, k):
         ill = shifted_profiles(eff, pos)                         # [C, W]
         emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
         cam = maybe_poisson(
@@ -155,14 +188,27 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed"):
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST))
-        frames = _rebin(cam, b)                                  # [C, H/b, W/b]
+        return _rebin(cam, b)                                    # [C, H/b, W/b]
+
+    def body(canvas, chunk_in):
+        pos, k = chunk_in if per_step else (chunk_in, None)
+        frames = frames_for(pos, k)
+        if subpixel:
+            spec = jnp.fft.rfft(frames, n=wc, axis=-1)           # [C, H/b, K]
+            ph_c = jax.lax.complex(pos_ph_re[pos], pos_ph_im[pos])
+            add = jnp.einsum("chk,ck->hk", spec, ph_c,
+                             precision=jax.lax.Precision.HIGHEST)
+            return canvas + add, None
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
         return rescan_accumulate(canvas, frames, offsets,
                                  use_pallas=use_pallas), None
 
-    init = jnp.zeros((hc, wc), jnp.float32)
+    init = jnp.zeros((hc, wc // 2 + 1), jnp.complex64) if subpixel \
+        else jnp.zeros((hc, wc), jnp.float32)
     canvas, _ = jax.lax.scan(body, init, xs)
+    if subpixel:
+        canvas = jnp.fft.irfft(canvas, n=wc, axis=-1)
     if key is not None and noise_mode == "collapsed":
         canvas = maybe_poisson(key, canvas)
     return canvas

@@ -31,10 +31,30 @@ def save_state(path: str, tree) -> None:
 
 
 def load_state(path: str, like):
-    """Load a pytree saved by :func:`save_state`; ``like`` gives the structure."""
+    """Load a pytree saved by :func:`save_state`; ``like`` gives the structure.
+
+    Raises ``ValueError`` if the stored treedef or any leaf shape/dtype
+    disagrees with ``like`` -- resuming after a config change must fail
+    loudly, not silently misassign leaves.
+    """
     with np.load(path, allow_pickle=False) as data:
         leaves, treedef = jax.tree.flatten(like)
-        loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
+        stored_def = str(data["__treedef__"])
+        if stored_def != str(treedef):
+            raise ValueError(
+                f"checkpoint {path!r} treedef mismatch:\n"
+                f"  stored:   {stored_def}\n  expected: {treedef}")
+        loaded = []
+        for i, leaf in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            want_shape = np.shape(leaf)
+            want_dtype = np.asarray(leaf).dtype
+            if arr.shape != want_shape or arr.dtype != want_dtype:
+                raise ValueError(
+                    f"checkpoint {path!r} leaf {i} mismatch: stored "
+                    f"{arr.dtype}{list(arr.shape)}, expected "
+                    f"{want_dtype}{list(want_shape)}")
+            loaded.append(arr)
         return jax.tree.unflatten(treedef, loaded)
 
 

@@ -85,6 +85,11 @@ def array_to_tif(arr: np.ndarray, path: str, use_native: bool | None = None
             offset = next_ifd if next_ifd else offset
 
 
+# Tags tif_to_array consumes; these must be inline (count == 1) or the
+# reader rejects the file rather than decoding an offset as data.
+_CONSUMED_TAGS = frozenset({256, 257, 258, 259, 273, 339})
+
+
 def _read_value(buf: bytes, typ: int, count: int, raw: bytes) -> int:
     if typ == _TYPE_SHORT:
         return struct.unpack("<H", raw[:2])[0]
@@ -107,6 +112,13 @@ def tif_to_array(path: str) -> np.ndarray:
         for k in range(n_entries):
             base = ifd_off + 2 + 12 * k
             tag, typ, count = struct.unpack("<HHI", buf[base:base + 8])
+            if tag in _CONSUMED_TAGS and count != 1:
+                # count > 1 means the 4-byte value field holds a *pointer*
+                # to the data (e.g. multi-strip StripOffsets); decoding it
+                # inline would silently read garbage.
+                raise ValueError(
+                    f"TIFF tag {tag} has count={count}; only single-strip "
+                    "single-value baseline TIFFs are supported")
             tags[tag] = _read_value(buf, typ, count, buf[base + 8:base + 12])
         (ifd_off,) = struct.unpack(
             "<I", buf[ifd_off + 2 + 12 * n_entries:][:4])

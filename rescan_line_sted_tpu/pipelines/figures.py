@@ -130,9 +130,16 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     ckpt.write_meta(size=size, num_powers=num_powers, max_power=max_power,
                     dose_budget=dose_budget, seed=seed, chunk=chunk)
     results, example = [], None
-    keys = jax.random.split(jax.random.key(seed), num_powers // chunk)
-    for i in range(num_powers // chunk):
+    # Ragged final chunk: pad with the last power to keep one compiled
+    # shape, then trim the merged results back to num_powers.
+    n_chunks = -(-num_powers // chunk)
+    keys = jax.random.split(jax.random.key(seed), n_chunks)
+    for i in range(n_chunks):
         chunk_powers = powers[i * chunk:(i + 1) * chunk]
+        if chunk_powers.shape[0] < chunk:
+            pad = chunk - chunk_powers.shape[0]
+            chunk_powers = jnp.concatenate(
+                [chunk_powers, jnp.repeat(chunk_powers[-1:], pad)])
         if example is None:
             example = jax.eval_shape(run, chunk_powers, keys[i])
             example = jax.tree.map(
@@ -144,7 +151,8 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
             ckpt.save(i, out)
             results.append(out)
     merged = jax.tree.map(
-        lambda *xs: np.concatenate(xs) if np.ndim(xs[0]) else xs[0], *results)
+        lambda *xs: np.concatenate(xs)[:num_powers]
+        if np.ndim(xs[0]) else xs[0], *results)
 
     _save_panels(out_dir, "dose_sweep_images", {
         "point_s0": merged.point.image[0],
@@ -177,6 +185,7 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     metrics = {
         "pipeline": "dose_sweep",
         "num_powers": num_powers,
+        "num_sweep_points_run": int(np.asarray(merged.point.fwhm_x).shape[0]),
         "point_fwhm_x_at_smax": float(merged.point.fwhm_x[-1]),
         "line_fwhm_x_at_smax": float(merged.line.fwhm_x[-1]),
         "line_to_point_step_ratio": float(merged.line.num_steps[0]

@@ -125,8 +125,10 @@ def dose_matched_sweep(
         r_fy, r_fx = fwhm_2d(hk)
         rescan_res = ModalitySweep(
             image=rimg,
-            # canvas x is magnified by R; report sample-scale resolution
-            fwhm_x=r_fx / rescan_geom.rescan_factor, fwhm_y=r_fy,
+            # canvas x is magnified by R/b and y shrunk by b; report
+            # sample-scale resolution
+            fwhm_x=r_fx * rescan_geom.binning / rescan_geom.rescan_factor,
+            fwhm_y=r_fy * rescan_geom.binning,
             emitted_signal=line_res.emitted_signal,
             exposure=exp_l,
             num_steps=ldose.num_steps * orientations,

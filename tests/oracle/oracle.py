@@ -138,8 +138,16 @@ def line_sted_image(sample, *, sigma_exc, sigma_det, stripe_period, depletion,
 
 def rescanned_line_sted_image(sample, *, sigma_exc, sigma_det, stripe_period,
                               depletion, brightness, rescan_factor=2.0,
-                              binning=1, rng=None) -> np.ndarray:
-    """Rescanned line-STED: re-binned camera frames scatter-added at R*x0."""
+                              binning=1, rng=None,
+                              reassignment="rounded") -> np.ndarray:
+    """Rescanned line-STED: re-binned camera frames scatter-added at R*x0.
+
+    ``reassignment="rounded"`` snaps each frame's canvas offset
+    ``(R-1)*x0/b`` to the nearest binned pixel (the only option for integer
+    R, where it is exact); ``"subpixel"`` places the frame at the exact
+    fractional offset by band-limited (Fourier phase-ramp) interpolation on
+    the canvas ring, the ideal continuous rescan sweep.
+    """
     sample = np.asarray(sample, np.float64)
     h, w = sample.shape
     b = binning
@@ -149,15 +157,24 @@ def rescanned_line_sted_image(sample, *, sigma_exc, sigma_det, stripe_period,
     eff = effective_psf(exc, dep, depletion)
     det = detection_psf(sample.shape, sigma_det)
     canvas = np.zeros((hc, wc))
+    k = np.arange(wc // 2 + 1)
     for x0 in range(w):
         ill = shift_profile_to(eff, x0)[None, :]
         cam = brightness * fft_convolve(sample * ill, det)
         if rng is not None:
             cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
         frame = cam.reshape(h // b, b, w // b, b).sum(axis=(1, 3))
-        off = int(round((rescan_factor - 1.0) * x0 / b))
-        cols = (off + np.arange(w // b)) % wc
-        canvas[:, cols] += frame
+        if reassignment == "rounded":
+            off = int(round((rescan_factor - 1.0) * x0 / b))
+            cols = (off + np.arange(w // b)) % wc
+            canvas[:, cols] += frame
+        elif reassignment == "subpixel":
+            off = (rescan_factor - 1.0) * x0 / b
+            spec = np.fft.rfft(frame, n=wc, axis=-1)
+            spec *= np.exp(-2j * np.pi * k * off / wc)
+            canvas += np.fft.irfft(spec, n=wc, axis=-1)
+        else:
+            raise ValueError(f"unknown reassignment {reassignment!r}")
     return canvas
 
 

@@ -56,3 +56,21 @@ def test_padded_rescan_shapes():
     canvas = np.asarray(res.image)
     peak = np.unravel_index(canvas.argmax(), canvas.shape)
     assert abs(peak[1] - 32) <= 1  # point at x=16 -> canvas column ~R*16
+
+
+def test_acquire_padded_rejects_binning_misaligned_margin():
+    import pytest
+
+    from rescan_line_sted_tpu.config import RescanParams
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    shape = (32, 32)
+    sample = jnp.zeros(shape).at[16, 16].set(1.0)
+    geom = RescanGeometry(Grid(*shape), rescan_factor=2.0, binning=2,
+                          chunk=16)
+    params = RescanParams.create(brightness=10.0)
+    with pytest.raises(ValueError, match="margin"):
+        acquire_padded(
+            lambda s, g, **kw: rescanned_line_sted_image(
+                s, params, g, method="scan", **kw),
+            sample, geom, margin=15)

@@ -66,8 +66,10 @@ def test_rescan_nonsquare(shape):
     params = LineSTEDParams.create(**LINE_PARAMS)
     kwargs = {k: v for k, v in LINE_PARAMS.items() if k != "slit_halfwidth"}
     got = rescanned_line_sted_image(sample, params, geom, method="scan").image
+    # R=2, binning=2 gives half-integer offsets: the engine's "auto"
+    # reassignment picks exact subpixel placement
     want = oracle.rescanned_line_sted_image(
         np.asarray(sample, np.float64), rescan_factor=2.0, binning=2,
-        **kwargs)
+        reassignment="subpixel", **kwargs)
     assert got.shape == want.shape
     assert rel_err(got, want) < 1e-5

@@ -80,3 +80,37 @@ def test_sweep_checkpoint_resume(tmp_path):
 
     ckpt.write_meta(n=4)
     assert ckpt.read_meta() == {"n": 4}
+
+
+def test_load_state_rejects_structure_mismatch(tmp_path):
+    path = str(tmp_path / "state.npz")
+    save_state(path, {"a": np.arange(5.0), "b": np.ones((2, 3))})
+    with pytest.raises(ValueError, match="treedef mismatch"):
+        load_state(path, {"a": np.arange(5.0), "c": np.ones((2, 3))})
+    with pytest.raises(ValueError, match="leaf 0 mismatch"):
+        load_state(path, {"a": np.arange(4.0), "b": np.ones((2, 3))})
+    with pytest.raises(ValueError, match="leaf 1 mismatch"):
+        load_state(path, {"a": np.arange(5.0),
+                          "b": np.ones((2, 3), np.float32)})
+
+
+def test_tiff_rejects_multistrip_tags(tmp_path):
+    import struct
+
+    arr = np.zeros((4, 4), np.uint8)
+    path = str(tmp_path / "multi.tif")
+    array_to_tif(arr, path)
+    with open(path, "rb") as f:
+        buf = bytearray(f.read())
+    # Forge StripOffsets (tag 273) count=2 so its value field becomes a
+    # pointer; the reader must reject it rather than decode garbage.
+    (n_entries,) = struct.unpack("<H", buf[8:10])
+    for k in range(n_entries):
+        base = 10 + 12 * k
+        tag, typ, count = struct.unpack("<HHI", buf[base:base + 8])
+        if tag == 273:
+            buf[base + 4:base + 8] = struct.pack("<I", 2)
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="count=2"):
+        tif_to_array(path)

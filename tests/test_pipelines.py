@@ -68,3 +68,12 @@ def test_fusion_pipeline_rescan_modality(tmp_path):
     fused = tif_to_array(str(tmp_path / "fusion_fused_rl.tif"))
     assert fused.shape == (48, 48)
     assert np.isfinite(fused).all()
+
+
+def test_dose_sweep_pipeline_ragged_final_chunk(tmp_path):
+    """num_powers not divisible by chunk must run ALL points, not drop the
+    trailing remainder."""
+    m = dose_sweep_pipeline(str(tmp_path), size=48, num_powers=3, chunk=2,
+                            max_power=8.0, dose_budget=50.0)
+    assert m["num_sweep_points_run"] == 3
+    assert np.isfinite(m["point_fwhm_x_at_smax"])

@@ -76,3 +76,21 @@ def test_fused_with_binning_matches_unfused():
                                     use_pallas=True).image
     assert got.shape == want.shape == (16, 32)
     assert rel_err(got, want) < 2e-6
+
+
+def test_narrow_canvas_routes_to_scan_engine():
+    """rescan_factor close to 1 makes the padded fused frame wider than the
+    canvas; the engine must fall back to the lax.scan path, not raise."""
+    import jax.numpy as jnp
+
+    from rescan_line_sted_tpu.config import Grid, RescanGeometry, RescanParams
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    sample = jnp.zeros((48, 48)).at[24, 24].set(1.0)
+    geom = RescanGeometry(Grid(48, 48), rescan_factor=1.1, chunk=16)
+    params = RescanParams.create(brightness=10.0)
+    res = rescanned_line_sted_image(sample, params, geom, method="scan",
+                                    use_pallas=True)
+    img = res.image
+    assert img.shape == geom.canvas_shape
+    assert float(img.sum()) > 0

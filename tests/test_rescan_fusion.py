@@ -93,3 +93,47 @@ def test_optimal_rescan_factor():
     p_sted = RescanParams.create(sigma_exc=4.0, sigma_det=4.0,
                                  stripe_period=16.0, depletion=30.0)
     assert float(optimal_rescan_factor(p_sted, 128)) > 3.0
+
+
+def test_rescan_operator_adjoint_exact():
+    """<A x, y> == <x, A^T y> for the linear_transpose adjoint, including
+    rotation, fractional R, and binning."""
+    import numpy as np
+
+    from rescan_line_sted_tpu.algorithms.fusion import rescan_operator
+
+    geom = RescanGeometry(Grid(32, 32), rescan_factor=1.5, binning=2,
+                          chunk=16)
+    params = RescanParams.create(sigma_exc=2.0, sigma_det=2.0,
+                                 stripe_period=8.0, depletion=4.0,
+                                 brightness=20.0)
+    fwd, adj = rescan_operator(geom, params, angle=0.7)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(32, 32)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=geom.canvas_shape), jnp.float32)
+    lhs = float(jnp.vdot(fwd(x), y))
+    rhs = float(jnp.vdot(x, adj(y)))
+    assert abs(lhs - rhs) <= 1e-5 * abs(lhs)
+
+
+def test_rescan_fusion_with_binning_and_fractional_R():
+    """Fusion deconvolves + de-bins + de-rescans binned fractional-R views
+    (ROADMAP 2 / VERDICT r1 item 2)."""
+    import numpy as np
+
+    h = w = 48
+    geom = RescanGeometry(Grid(h, w), rescan_factor=1.5, binning=2, chunk=16)
+    params = RescanParams.create(sigma_exc=2.0, sigma_det=2.0,
+                                 stripe_period=8.0, depletion=6.0,
+                                 brightness=50.0)
+    sample = np.zeros((h, w), np.float32)
+    sample[10:38:6, 10:38] = 1.0
+    sample[10:38, 10:38:6] += 1.0
+    angles = (0.0, float(jnp.pi / 2))
+    canv = multi_orientation_rescan(jnp.asarray(sample), params, geom,
+                                    jnp.asarray(angles))
+    assert canv.shape == (2,) + geom.canvas_shape
+    est = np.asarray(rescan_fusion(canv, params, geom, angles, num_iter=40))
+    assert np.isfinite(est).all()
+    corr = np.corrcoef(est.ravel(), sample.ravel())[0, 1]
+    assert corr > 0.7
