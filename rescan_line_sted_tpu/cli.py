@@ -33,7 +33,8 @@ def _figure(args) -> None:
         "sweep": lambda: dose_sweep_pipeline(
             args.out, size=args.size, num_powers=args.num_powers,
             max_power=args.max_power, dose_budget=args.dose_budget,
-            seed=args.seed),
+            seed=args.seed, fuse_orientations=not args.no_fuse,
+            boundary=args.boundary),
         "fusion": lambda: fusion_pipeline(
             args.out, size=args.size, num_angles=args.num_angles,
             depletion=args.depletion, rl_iters=args.rl_iters,
@@ -97,6 +98,14 @@ def main(argv=None) -> None:
                      default="descan")
     fig.add_argument("--fov-sizes", type=int, nargs="+",
                      default=[128, 256, 512])
+    fig.add_argument("--no-fuse", action="store_true",
+                     help="sweep: skip multi-orientation RL fusion (report "
+                          "raw single-orientation arms instead)")
+    fig.add_argument("--boundary", choices=["circular", "padded"],
+                     default="circular",
+                     help="field boundary: circular wrap (grid-periodic "
+                          "world) or padded (open boundary via "
+                          "pad-acquire-crop)")
     fig.add_argument("--seed", type=int, default=0)
     fig.set_defaults(func=_figure)
 

@@ -16,6 +16,33 @@ import jax.numpy as jnp
 from rescan_line_sted_tpu.config import Grid
 
 
+def default_margin(geom) -> int:
+    """A reasonable pad margin for ``boundary="padded"`` acquisitions.
+
+    ~1/8 of the field (>= 8 px), rounded up until it satisfies the binned
+    rescan crop alignment (``margin % b == 0`` and
+    ``round(R * margin) % b == 0``). Callers with very wide PSFs should pass
+    an explicit margin >= the PSF support instead.
+    """
+    h, w = geom.grid.shape
+    b = getattr(geom, "binning", 1)
+    r = getattr(geom, "rescan_factor", None)
+    base = ((max(8, min(h, w) // 8) + b - 1) // b) * b
+    if r is None:
+        return base
+    # prefer a margin that also makes R*margin integral, so the rescan
+    # canvas crop is exact (otherwise the cropped canvas carries a constant
+    # sub-pixel x shift of frac(R*margin))
+    for m in range(base, base + 64):
+        if m % b == 0 and round(r * m) % b == 0 \
+                and abs(r * m - round(r * m)) < 1e-6:
+            return m
+    m = base
+    while m % b or int(round(r * m)) % b:
+        m += 1
+    return m
+
+
 def pad_sample(sample: jnp.ndarray, margin: int) -> jnp.ndarray:
     """Zero-pad a sample by ``margin`` pixels on every side."""
     return jnp.pad(sample, ((margin, margin), (margin, margin)))

@@ -36,6 +36,9 @@ def line_sted_image(
     key: jax.Array | None = None,
     method: str = "analytic",
     noise_mode: str = "collapsed",
+    boundary: str = "circular",
+    margin: int | None = None,
+    use_pallas: bool | None = None,
 ) -> AcquisitionResult:
     """Simulate a full descanned line-STED acquisition of ``sample``.
 
@@ -44,11 +47,27 @@ def line_sted_image(
     per-camera-pixel draws because detection only *adds* independent Poisson
     variables (see ``physics/noise.py``) and ~4x faster; ``"per_step"``
     samples every camera frame like the reference's loop does.
+    ``boundary``: ``"circular"`` or ``"padded"`` (open boundary via
+    pad-acquire-crop; dose reported for the requested field).
     """
+    if boundary == "padded":
+        from rescan_line_sted_tpu.imaging.boundary import (
+            acquire_padded,
+            default_margin,
+        )
+
+        res = acquire_padded(
+            lambda s, g, **kw: line_sted_image(s, params, g, **kw),
+            sample, geom, default_margin(geom) if margin is None else margin,
+            key=key, method=method, noise_mode=noise_mode,
+            use_pallas=use_pallas)
+        return res.replace(dose=line_sted_dose(params, geom))
+    if boundary != "circular":
+        raise ValueError(f"unknown boundary {boundary!r}")
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
-        image = _scan(sample, params, geom, key, noise_mode)
+        image = _scan(sample, params, geom, key, noise_mode, use_pallas)
     else:
         raise ValueError(f"unknown method {method!r}")
     return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
@@ -67,7 +86,8 @@ def _analytic(sample, params, geom, key):
     return maybe_poisson(key, mean)
 
 
-def _scan(sample, params, geom, key, noise_mode="collapsed"):
+def _scan(sample, params, geom, key, noise_mode="collapsed",
+          use_pallas=None):
     if noise_mode not in ("collapsed", "per_step"):
         raise ValueError(f"unknown noise_mode {noise_mode!r}")
     shape = geom.grid.shape
@@ -99,9 +119,40 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
                       precision=jax.lax.Precision.HIGHEST)
         return img if key is None else maybe_poisson(key, img)
 
-    # Per-step noise: explicit camera frames, chunked lax.scan; the circular
-    # x-convolution is one MXU matmul per chunk with the circulant of gx.
+    # Per-step noise. On TPU the whole noisy scan runs as ONE fused Pallas
+    # megakernel (kernels/line_fused.py): VMEM-resident state, MXU
+    # x-convolution, and per-camera-frame Poisson from the hardware PRNG --
+    # no [C, H, W] chunks in HBM, no threefry. Only the slit's static
+    # support window is sampled (descanned detection never reads the rest
+    # of the frame, so its noise cannot reach the output); slit halfwidths
+    # beyond ~31 px would need a wider window -- the engine falls back to
+    # the lax.scan path rather than silently under-dispersing, using the
+    # conservative static bound w/8 on the (traced) halfwidth.
     gx_mat = fftconv.circulant_matrix(gx)
+    on_tpu = jax.default_backend() == "tpu"
+    try:  # concrete (untraced) halfwidth: size the window to fit exactly
+        hw = float(params.slit_halfwidth)
+        slit_support = min(w, int(2 * hw) + 10)
+        slit_fits = slit_support >= 2 * hw + 2 or slit_support >= w
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        # traced halfwidth: assume it fits the default 64-px window
+        # (halfwidth <= 31 px -- any physical descanned slit; see
+        # line_fused.py for what a violation would mean)
+        slit_support, slit_fits = 64, True
+    vmem_ok = (w * w + 12 * max(slit_support, 64) * 128) * 4 <= 14_000_000 \
+        and w % 8 == 0
+    if on_tpu and vmem_ok and slit_fits and use_pallas is not False:
+        from rescan_line_sted_tpu.kernels.line_fused import line_sted_fused
+
+        seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        return line_sted_fused(sample_y, params.brightness * eff, gx_mat,
+                               slit, seed, slit_support=slit_support,
+                               interpret=False)
+
+    # Fallback: chunked lax.scan with explicit camera frames; the circular
+    # x-convolution is one MXU matmul per chunk with the circulant of gx.
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, jax.random.split(key, n_chunks))
 

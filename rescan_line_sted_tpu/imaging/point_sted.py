@@ -42,6 +42,8 @@ def point_sted_image(
     key: jax.Array | None = None,
     method: str = "analytic",
     noise_mode: str = "collapsed",
+    boundary: str = "circular",
+    margin: int | None = None,
 ) -> AcquisitionResult:
     """Simulate a full descanned point-STED acquisition of ``sample``.
 
@@ -50,7 +52,23 @@ def point_sted_image(
     statistically identical to per-camera-pixel draws (pinhole sums of
     independent Poissons are Poisson; see ``physics/noise.py``);
     ``"per_step"`` samples every camera frame like the reference's loop.
+    ``boundary``: ``"circular"`` (grid-periodic world) or ``"padded"``
+    (open boundary via pad-acquire-crop, margin >= PSF support; dose is
+    reported for the requested field).
     """
+    if boundary == "padded":
+        from rescan_line_sted_tpu.imaging.boundary import (
+            acquire_padded,
+            default_margin,
+        )
+
+        res = acquire_padded(
+            lambda s, g, **kw: point_sted_image(s, params, g, **kw),
+            sample, geom, default_margin(geom) if margin is None else margin,
+            key=key, method=method, noise_mode=noise_mode)
+        return res.replace(dose=point_sted_dose(params, geom))
+    if boundary != "circular":
+        raise ValueError(f"unknown boundary {boundary!r}")
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":

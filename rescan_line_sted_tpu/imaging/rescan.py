@@ -59,6 +59,8 @@ def rescanned_line_sted_image(
     use_pallas: bool | None = None,
     noise_mode: str = "collapsed",
     reassignment: str = "auto",
+    boundary: str = "circular",
+    margin: int | None = None,
 ) -> AcquisitionResult:
     """Simulate a full rescanned line-STED acquisition of ``sample``.
 
@@ -66,8 +68,23 @@ def rescanned_line_sted_image(
     ``rescan_factor >= 1`` (fractional R is placed subpixel-exactly) and any
     binning. ``reassignment`` ("auto" | "rounded" | "subpixel", scan path
     only) controls frame placement; see the module doc for the noise-mode
-    semantics of each.
+    semantics of each. ``boundary``: ``"circular"`` or ``"padded"`` (open
+    boundary via pad-acquire-crop; dose reported for the requested field).
     """
+    if boundary == "padded":
+        from rescan_line_sted_tpu.imaging.boundary import (
+            acquire_padded,
+            default_margin,
+        )
+
+        res = acquire_padded(
+            lambda s, g, **kw: rescanned_line_sted_image(s, params, g, **kw),
+            sample, geom, default_margin(geom) if margin is None else margin,
+            key=key, method=method, use_pallas=use_pallas,
+            noise_mode=noise_mode, reassignment=reassignment)
+        return res.replace(dose=line_sted_dose(params, geom))
+    if boundary != "circular":
+        raise ValueError(f"unknown boundary {boundary!r}")
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
@@ -145,22 +162,37 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
 
     # Fused megakernel path: the whole scan in ONE pallas_call with the
-    # canvas resident in VMEM (kernels/rescan_fused.py). Applies when no
-    # per-frame noise is needed; on-TPU by default. Narrow canvases
+    # canvas resident in VMEM (kernels/rescan_fused.py), including per-step
+    # shot noise drawn in-kernel from the hardware PRNG. Narrow canvases
     # (rescan_factor close to 1, where the 8-aligned padded frame would not
     # fit) route to the lax.scan engine, whose scatter handles any width.
     on_tpu = jax.default_backend() == "tpu"
     fused_fits = (w // b + 7) // 8 * 8 + 8 <= wc
-    if reassignment == "rounded" and not per_step and fused_fits and (
-            use_pallas or (use_pallas is None and on_tpu)):
+    # per-step noise: lane-tiled kernel (128 binned lanes at a time), so
+    # VMEM is dominated by the resident circulant; needs the real hardware
+    # PRNG (interpret mode yields zeros)
+    wb_, hb_ = w // b, h // b
+    lane = 128 if (hb_ % 128 == 0 and hb_ > 128) else hb_
+    noisy_vmem_ok = (w * w + w * lane * b + (wc + wb_ + 16) * lane
+                     + 8 * wb_ * lane) * 4 <= 14_000_000
+    fused_wanted = (use_pallas or (use_pallas is None and on_tpu)) \
+        if not per_step else (on_tpu and use_pallas is not False
+                              and noisy_vmem_ok)
+    if reassignment == "rounded" and fused_fits and fused_wanted:
         from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused
 
         pos = jnp.arange(w)
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
+        seed = None
+        if per_step:
+            seed = jax.random.randint(key, (1,), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
         canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,
-                              offsets, wc, binning=b, interpret=not on_tpu)
-        if key is not None:
+                              offsets, wc, binning=b, seed=seed,
+                              interpret=not on_tpu)
+        if key is not None and not per_step:
             canvas = maybe_poisson(key, canvas)
         return canvas
 

@@ -53,19 +53,66 @@ def _stirling_lgamma(z):
             + 1.0 / (12.0 * z) - 1.0 / (360.0 * z * z * z))
 
 
-def _poisson_kernel(seed_ref, lam_ref, out_ref):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    lam = lam_ref[...]
-    shape = lam.shape
+def _uniform_planes(shape, rounds: int):
+    """``rounds`` independent uniform planes of ``shape``, drawn in ONE
+    ``prng_random_bits`` call.
 
-    # --- small-lambda branch: Knuth product method -----------------------
-    # Statically unrolled: Mosaic cannot legalize scf.for with vector-mask
-    # carries, and 24+10 fixed rounds are cheap to unroll.
+    Per-call PRNG overhead dominates many-small-round samplers inside fused
+    kernels (44 separate draws cost ~2x the whole sampler arithmetic);
+    batching them into one [rounds*R, C] draw and slicing is ~2.2x faster
+    end-to-end. Returns a closure ``u(k) -> plane k``.
+    """
+    rows, cols = shape
+    all_u = _uniform((rounds * rows, cols))
+    return lambda k: all_u[k * rows:(k + 1) * rows]
+
+
+def _knuth(lam: jnp.ndarray, rounds: int, batched: bool = False
+           ) -> jnp.ndarray:
+    """Knuth product-method Poisson for small lambda, ``rounds`` unrolled.
+
+    Statically unrolled: Mosaic cannot legalize scf.for with vector-mask
+    carries. Truncation probability P(N > rounds): < 5e-5 at lambda = 10
+    with 24 rounds, < 2e-6 at lambda = 1.5 with 10 rounds.
+    """
+    shape = lam.shape
+    u = _uniform_planes(shape, rounds) if batched \
+        else (lambda k: _uniform(shape))
     threshold = jnp.exp(-jnp.minimum(lam, _CUT + 1.0))
     prod = jnp.ones(shape, jnp.float32)
     small = jnp.zeros(shape, jnp.float32)
-    for _ in range(_KNUTH_ROUNDS):
-        prod = prod * _uniform(shape)
+    for k in range(rounds):
+        prod = prod * u(k)
+        small = small + (prod >= threshold).astype(jnp.float32)
+    return small
+
+
+def sample_poisson(lam: jnp.ndarray, batched: bool = False) -> jnp.ndarray:
+    """In-kernel Poisson draw from the hardware PRNG (Pallas TPU only).
+
+    Pure vector code (no refs): callable from ANY Pallas kernel after
+    ``pltpu.prng_seed`` -- the fused scan megakernels draw per-camera-frame
+    shot noise with this without leaving VMEM. See the module doc for the
+    Knuth/PTRS sampler derivation and its fixed-round error bounds.
+    ``batched=True`` draws all rounds' bits in one PRNG call (see
+    ``_uniform_planes``; costs ``44 * lam.size`` f32 of kernel stack, so use
+    on small tiles only).
+    """
+    shape = lam.shape
+    if batched:
+        planes = _uniform_planes(shape, _KNUTH_ROUNDS + 2 * _PTRS_ROUNDS)
+        ku = lambda k: planes(k)                      # noqa: E731
+        pu = lambda r, j: planes(_KNUTH_ROUNDS + 2 * r + j)  # noqa: E731
+    else:
+        ku = lambda k: _uniform(shape)                # noqa: E731
+        pu = lambda r, j: _uniform(shape)             # noqa: E731
+
+    # --- small-lambda branch: Knuth product method -----------------------
+    threshold = jnp.exp(-jnp.minimum(lam, _CUT + 1.0))
+    prod = jnp.ones(shape, jnp.float32)
+    small = jnp.zeros(shape, jnp.float32)
+    for k in range(_KNUTH_ROUNDS):
+        prod = prod * ku(k)
         small = small + (prod >= threshold).astype(jnp.float32)
 
     # --- large-lambda branch: PTRS transformed rejection ------------------
@@ -78,9 +125,9 @@ def _poisson_kernel(seed_ref, lam_ref, out_ref):
 
     large = jnp.round(lam_b)
     done = jnp.zeros(shape, jnp.float32)  # f32 mask: i1 carries upset Mosaic
-    for _ in range(_PTRS_ROUNDS):
-        u = _uniform(shape) - 0.5
-        v = _uniform(shape)
+    for r in range(_PTRS_ROUNDS):
+        u = pu(r, 0) - 0.5
+        v = pu(r, 1)
         us = 0.5 - jnp.abs(u)
         k = jnp.floor((2.0 * a / us + b) * u + lam_b + 0.43)
         accept_fast = (us >= 0.07) & (v <= vr)
@@ -95,7 +142,53 @@ def _poisson_kernel(seed_ref, lam_ref, out_ref):
         done = jnp.maximum(done, accept)
 
     out = jnp.where(lam < _CUT, small, large)
-    out_ref[...] = jnp.where(lam > 0.0, out, 0.0)
+    return jnp.where(lam > 0.0, out, 0.0)
+
+
+def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
+                         seed) -> None:
+    """Write ``Poisson(lam)`` into ``out_ref[rows, :]``, picking a sampler
+    tier from the chunk's max lambda at RUNTIME (``pl.when`` predication --
+    only the selected tier's instructions execute).
+
+    Camera frames in a scanning microscope are mostly dark (the illumination
+    line covers a few percent of the field), so a full Knuth+PTRS draw on
+    every pixel wastes ~90% of the VPU work. Tiers:
+
+    * max < 1e-3: one-uniform Bernoulli (P(N >= 2) <= 5e-7 per pixel);
+    * max < 1.5:  Knuth, 10 rounds (truncation < 2e-6);
+    * max < 10:   Knuth, 24 rounds (truncation < 5e-5, as sample_poisson);
+    * else:       full Knuth+PTRS (exact branch selection per pixel).
+
+    Each tier seeds the hardware PRNG itself with ``seed``, so the result is
+    deterministic in (seed, chunk) regardless of which tier runs.
+    """
+    mx = jnp.max(lam)
+
+    @pl.when(mx < 1e-3)
+    def _dark():
+        pltpu.prng_seed(seed)
+        out_ref[rows, :] = (_uniform(lam.shape) < lam).astype(jnp.float32)
+
+    @pl.when((mx >= 1e-3) & (mx < 1.5))
+    def _dim():
+        pltpu.prng_seed(seed)
+        out_ref[rows, :] = _knuth(lam, 10, batched=True)
+
+    @pl.when((mx >= 1.5) & (mx < _CUT))
+    def _mid():
+        pltpu.prng_seed(seed)
+        out_ref[rows, :] = _knuth(lam, _KNUTH_ROUNDS, batched=True)
+
+    @pl.when(mx >= _CUT)
+    def _bright():
+        pltpu.prng_seed(seed)
+        out_ref[rows, :] = sample_poisson(lam, batched=True)
+
+
+def _poisson_kernel(seed_ref, lam_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    out_ref[...] = sample_poisson(lam_ref[...])
 
 
 def _round_up(x: int, m: int) -> int:

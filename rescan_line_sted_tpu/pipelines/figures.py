@@ -112,10 +112,28 @@ def comparison_pipeline(out_dir: str, size: int = 256, depletion: float = 8.0,
 def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
                         max_power: float = 16.0, dose_budget: float = 100.0,
                         seed: int = 0, chunk: int = 4,
-                        orientations: int = 2) -> dict:
-    """Full dose-matched sweep with per-chunk checkpoint/resume."""
-    grid = Grid(size, size)
-    sample = _default_sample(size)
+                        orientations: int = 2,
+                        fuse_orientations: bool = True,
+                        fusion_iters: int = 30,
+                        boundary: str = "circular") -> dict:
+    """Full dose-matched sweep with per-chunk checkpoint/resume.
+
+    ``fuse_orientations`` (default on, the paper's protocol) reports the
+    N-orientation RL-fused line/rescan arms and achieved post-fusion
+    resolutions; see ``dose_matched_sweep``. ``boundary="padded"`` runs the
+    whole sweep open-boundary (pad-acquire-crop).
+    """
+    if boundary not in ("circular", "padded"):
+        raise ValueError(f"unknown boundary {boundary!r}")
+    margin = 0
+    if boundary == "padded":
+        from rescan_line_sted_tpu.imaging.boundary import default_margin
+
+        margin = default_margin(LineSTEDGeometry(Grid(size, size)))
+    run_size = size + 2 * margin
+    grid = Grid(run_size, run_size)
+    sample = jnp.pad(_default_sample(size),
+                     ((margin, margin), (margin, margin)))
     pgeom, lgeom = PointSTEDGeometry(grid), LineSTEDGeometry(grid)
     pbase = PointSTEDParams.create(brightness=1.0)
     lbase = LineSTEDParams.create(brightness=1.0)
@@ -124,11 +142,20 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     rgeom = RescanGeometry(grid, rescan_factor=2.0)
     run = jax.jit(lambda p, k: dose_matched_sweep(
         sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
-        orientations=orientations, rescan_geom=rgeom))
+        orientations=orientations, rescan_geom=rgeom,
+        fuse_orientations=fuse_orientations, fusion_iters=fusion_iters))
 
     ckpt = SweepCheckpoint(os.path.join(out_dir, "sweep_ckpt"))
-    ckpt.write_meta(size=size, num_powers=num_powers, max_power=max_power,
-                    dose_budget=dose_budget, seed=seed, chunk=chunk)
+    meta = dict(size=size, num_powers=num_powers, max_power=max_power,
+                dose_budget=dose_budget, seed=seed, chunk=chunk,
+                orientations=orientations,
+                fuse_orientations=fuse_orientations, boundary=boundary)
+    stored = ckpt.read_meta()
+    if stored and stored != meta and ckpt.completed():
+        raise ValueError(
+            f"checkpoint dir {ckpt.directory!r} was written with different "
+            f"sweep settings ({stored}); delete it or change out_dir")
+    ckpt.write_meta(**meta)
     results, example = [], None
     # Ragged final chunk: pad with the last power to keep one compiled
     # shape, then trim the merged results back to num_powers.
@@ -154,6 +181,23 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         lambda *xs: np.concatenate(xs)[:num_powers]
         if np.ndim(xs[0]) else xs[0], *results)
 
+    if margin:  # crop padded acquisitions back to the requested field
+        def crop(arr):
+            return arr[:, margin:margin + size, margin:margin + size]
+
+        rimg = merged.rescan.image
+        if fuse_orientations:  # fused estimate lives on the sample grid
+            rimg = crop(rimg)
+        else:  # canvas grid: x scales by R, both axes by 1/binning
+            r, b = rgeom.rescan_factor, rgeom.binning
+            x0 = int(round(r * margin)) // b
+            rimg = rimg[:, margin // b: margin // b + size // b,
+                        x0: x0 + int(round(r * size)) // b]
+        merged = merged.replace(
+            point=merged.point.replace(image=crop(merged.point.image)),
+            line=merged.line.replace(image=crop(merged.line.image)),
+            rescan=merged.rescan.replace(image=rimg))
+
     _save_panels(out_dir, "dose_sweep_images", {
         "point_s0": merged.point.image[0],
         "point_smax": merged.point.image[-1],
@@ -166,8 +210,10 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         import matplotlib.pyplot as plt
         fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
         p = np.asarray(merged.depletion_powers)
+        line_label = (f"line STED ({orientations}-orient. RL fused)"
+                      if fuse_orientations else "line STED (scan axis)")
         ax1.plot(p, np.asarray(merged.point.fwhm_x), label="point STED")
-        ax1.plot(p, np.asarray(merged.line.fwhm_x), label="line STED (scan axis)")
+        ax1.plot(p, np.asarray(merged.line.fwhm_x), label=line_label)
         ax1.plot(p, np.asarray(merged.rescan.fwhm_x), "--",
                  label="rescanned line STED")
         ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
@@ -186,8 +232,11 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         "pipeline": "dose_sweep",
         "num_powers": num_powers,
         "num_sweep_points_run": int(np.asarray(merged.point.fwhm_x).shape[0]),
+        "fused_orientations": orientations if fuse_orientations else 0,
+        "boundary": boundary,
         "point_fwhm_x_at_smax": float(merged.point.fwhm_x[-1]),
         "line_fwhm_x_at_smax": float(merged.line.fwhm_x[-1]),
+        "line_fwhm_y_at_smax": float(merged.line.fwhm_y[-1]),
         "line_to_point_step_ratio": float(merged.line.num_steps[0]
                                           / merged.point.num_steps[0]),
     }

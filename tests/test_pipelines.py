@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from rescan_line_sted_tpu.cli import main as cli_main
@@ -77,3 +79,26 @@ def test_dose_sweep_pipeline_ragged_final_chunk(tmp_path):
                             max_power=8.0, dose_budget=50.0)
     assert m["num_sweep_points_run"] == 3
     assert np.isfinite(m["point_fwhm_x_at_smax"])
+
+
+def test_dose_sweep_pipeline_fused_and_padded(tmp_path):
+    """Sweep with the paper's fusion protocol + open boundary."""
+    m = dose_sweep_pipeline(str(tmp_path), size=48, num_powers=2, chunk=2,
+                            max_power=8.0, dose_budget=50.0,
+                            orientations=2, fuse_orientations=True,
+                            fusion_iters=15, boundary="padded")
+    assert m["fused_orientations"] == 2
+    assert m["boundary"] == "padded"
+    # fused resolution is isotropic at smax
+    np.testing.assert_allclose(m["line_fwhm_y_at_smax"],
+                               m["line_fwhm_x_at_smax"], rtol=0.05)
+    img = tif_to_array(str(tmp_path / "dose_sweep_images_line_smax.tif"))
+    assert img.shape == (48, 48)
+
+
+def test_dose_sweep_pipeline_rejects_stale_checkpoints(tmp_path):
+    kwargs = dict(size=48, num_powers=2, chunk=2, dose_budget=50.0,
+                  fuse_orientations=False)
+    dose_sweep_pipeline(str(tmp_path), **kwargs)
+    with pytest.raises(ValueError, match="different sweep settings"):
+        dose_sweep_pipeline(str(tmp_path), **{**kwargs, "dose_budget": 60.0})

@@ -97,3 +97,28 @@ def test_sweep_with_rescan_arm():
     # rescan resolution (sample scale) improves with depletion
     fx = np.asarray(res.rescan.fwhm_x)
     assert fx[0] > fx[-1]
+
+
+def test_sweep_fuse_orientations_isotropic_at_high_s():
+    """The paper's protocol (VERDICT r1 item 3): with fuse_orientations the
+    line/rescan arms report N-orientation RL-fused images and achieved
+    resolutions; at high depletion the fused resolution is isotropic."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+
+    rgeom = RescanGeometry(Grid(*SHAPE), rescan_factor=2.0, chunk=16)
+    powers = jnp.asarray([0.0, 8.0])
+    res = jax.jit(lambda p: dose_matched_sweep(
+        SAMPLE, PBASE, LBASE, PGEOM, LGEOM, p, 100.0, orientations=2,
+        rescan_geom=rgeom, fuse_orientations=True, fusion_iters=25))(powers)
+    # fused images live on the sample grid for every arm
+    assert res.line.image.shape == (2, *SHAPE)
+    assert res.rescan.image.shape == (2, *SHAPE)
+    l_fx, l_fy = np.asarray(res.line.fwhm_x), np.asarray(res.line.fwhm_y)
+    assert np.all(np.isfinite(l_fx)) and np.all(np.isfinite(l_fy))
+    # isotropy at high s (two orthogonal views)
+    np.testing.assert_allclose(l_fy[-1], l_fx[-1], rtol=0.05)
+    r_fx, r_fy = np.asarray(res.rescan.fwhm_x), np.asarray(res.rescan.fwhm_y)
+    np.testing.assert_allclose(r_fy[-1], r_fx[-1], rtol=0.05)
+    # resolution still improves with depletion after fusion
+    assert l_fx[-1] < l_fx[0]
+    assert r_fx[-1] < r_fx[0]
