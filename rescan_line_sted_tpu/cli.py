@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 
 
 def _figure(args) -> None:
@@ -77,6 +78,16 @@ def _psf_report(args) -> None:
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    # Persistent compilation cache: TPU compiles run minutes on first use;
+    # cache executables across CLI invocations (override path or disable
+    # with JAX_COMPILATION_CACHE_DIR="").
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/rescan_line_sted_tpu/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     parser = argparse.ArgumentParser(prog="rescan_line_sted_tpu")
     parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],

@@ -182,3 +182,26 @@ class LineSTEDParams:
 
 # The rescanned engine shares the line physics; alias for API clarity.
 RescanParams = LineSTEDParams
+
+
+def matmul_precision(pallas: bool = False):
+    """The MXU precision every engine matmul uses.
+
+    Default ``HIGHEST`` -- the measured error budget (docs/PERFORMANCE.md)
+    shows single-pass bf16 (``DEFAULT``) misses the engine's 1e-5 oracle
+    parity bar by ~50-100x and the 3-pass ``HIGH`` leaves almost no margin
+    (8e-6 at 512 terms, growing with width), while the engines' wall time
+    is mostly not MXU-bound at simulation sizes, so trading accuracy buys
+    nearly nothing. Override with
+    ``RLS_MATMUL_PRECISION={default,high,highest}`` (read at import time)
+    for experiments. ``pallas=True`` maps ``high`` to ``highest``: Mosaic
+    does not implement 3-pass dots inside kernels.
+    """
+    import os
+
+    import jax
+
+    name = os.environ.get("RLS_MATMUL_PRECISION", "highest").upper()
+    if pallas and name == "HIGH":
+        name = "HIGHEST"
+    return getattr(jax.lax.Precision, name)

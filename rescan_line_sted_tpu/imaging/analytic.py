@@ -55,6 +55,12 @@ from rescan_line_sted_tpu.imaging.shifts import flip_centered
 from rescan_line_sted_tpu.kernels import fftconv
 from rescan_line_sted_tpu.physics import psf as psfs
 
+from rescan_line_sted_tpu.config import matmul_precision
+
+# engine matmul precision (HIGHEST unless RLS_MATMUL_PRECISION overrides;
+# see config.matmul_precision for the measured error budget)
+_PRECISION = matmul_precision()
+
 
 def point_system_kernel(
     shape: tuple[int, int], params: PointSTEDParams
@@ -152,7 +158,7 @@ def rescan_x_kernels_rfft(
     t_c = np.arange(w, dtype=np.float64) - w // 2
     pe = _np_phases(-kk[None, :] * (r - 1.0) * t_c[:, None] / (b * wc))
     e_base = jnp.einsum("t,tk->k", eff.astype(jnp.complex64), pe,
-                        precision=jax.lax.Precision.HIGHEST)   # [K]
+                        precision=_PRECISION)   # [K]
     rho_ph = _np_phases(kk[None, :] * (r - 1.0) * rho_idx[:, None]
                         / (b * wc))                            # [b, K]
     return d_hat * e_base[None, :] * rho_ph
@@ -187,7 +193,7 @@ def rescan_canvas_mean(
     det_y = psfs.detection_profile(h, params.sigma_det)
     gy = _binned_row_matrix(h, b, det_y)                       # [h, hc]
     s_yb = jnp.einsum("hY,hw->Yw", gy, sample,
-                      precision=jax.lax.Precision.HIGHEST)     # [hc, w]
+                      precision=_PRECISION)     # [hc, w]
     # split columns by phase: a = b*m + rho -> [b(rho), hc, w/b(m)]
     s_ph = s_yb.reshape(hc, w // b, b).transpose(2, 0, 1)
 
@@ -196,7 +202,7 @@ def rescan_canvas_mean(
                     / wc)                                      # [w/b, K]
     canvas_rfft = jnp.einsum("pYm,mk,pk->Yk",
                              s_ph.astype(jnp.complex64), pm, h_hat,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_PRECISION)
     return params.brightness * jnp.fft.irfft(canvas_rfft, n=wc, axis=-1)
 
 

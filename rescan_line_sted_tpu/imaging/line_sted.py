@@ -28,6 +28,12 @@ from rescan_line_sted_tpu.physics import psf as psfs
 from rescan_line_sted_tpu.physics.dose import line_sted_dose
 from rescan_line_sted_tpu.physics.noise import maybe_poisson
 
+from rescan_line_sted_tpu.config import matmul_precision
+
+# engine matmul precision (HIGHEST unless RLS_MATMUL_PRECISION overrides;
+# see config.matmul_precision for the measured error budget)
+_PRECISION = matmul_precision()
+
 
 def line_sted_image(
     sample: jnp.ndarray,
@@ -116,7 +122,7 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
         p_mat = fftconv.circulant_matrix(params.brightness * eff * q)
         img = jnp.dot(sample_y, p_mat,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_PRECISION)
         return img if key is None else maybe_poisson(key, img)
 
     # Per-step noise. On TPU the whole noisy scan runs as ONE fused Pallas
@@ -164,7 +170,7 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
             k, params.brightness
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST))
+                         precision=_PRECISION))
         slits = shifted_profiles(slit, pos)                      # [C, W]
         cols = jnp.einsum("chw,cw->hc", cam, slits)              # [H, C]
         return img.at[:, pos].set(cols), None

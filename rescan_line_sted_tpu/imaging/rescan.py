@@ -49,6 +49,12 @@ from rescan_line_sted_tpu.physics import psf as psfs
 from rescan_line_sted_tpu.physics.dose import line_sted_dose
 from rescan_line_sted_tpu.physics.noise import maybe_poisson
 
+from rescan_line_sted_tpu.config import matmul_precision
+
+# engine matmul precision (HIGHEST unless RLS_MATMUL_PRECISION overrides;
+# see config.matmul_precision for the measured error budget)
+_PRECISION = matmul_precision()
+
 
 def rescanned_line_sted_image(
     sample: jnp.ndarray,
@@ -219,7 +225,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             k, params.brightness
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST))
+                         precision=_PRECISION))
         return _rebin(cam, b)                                    # [C, H/b, W/b]
 
     def body(canvas, chunk_in):
@@ -229,7 +235,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             spec = jnp.fft.rfft(frames, n=wc, axis=-1)           # [C, H/b, K]
             ph_c = jax.lax.complex(pos_ph_re[pos], pos_ph_im[pos])
             add = jnp.einsum("chk,ck->hk", spec, ph_c,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_PRECISION)
             return canvas + add, None
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)

@@ -37,6 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rescan_line_sted_tpu.kernels.poisson_pallas import sample_poisson
 
+from rescan_line_sted_tpu.config import matmul_precision
+
+# engine matmul precision (HIGHEST unless RLS_MATMUL_PRECISION overrides;
+# see config.matmul_precision for the measured error budget)
+_PRECISION = matmul_precision(pallas=True)
+
 _POS_BLOCK = 8   # output rows written per block (must be 8-aligned)
 _LANE = 128      # camera lanes (y pixels) per tile
 
@@ -51,7 +57,7 @@ def _line_kernel(seed_ref, eff_col_ref, slit_win_ref, slit_out_ref,
     emitted_t = sample_yt_ref[...] * ill                          # [W, L]
     cam_t = jnp.dot(gx_mat_t_ref[...], emitted_t,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)          # [W, L]
+                    precision=_PRECISION)          # [W, L]
     # roll the frame so scan position `pos` sits at row w//2: the slit
     # support becomes the static window [w//2 - win//2, w//2 + win//2)
     cam_c = pltpu.roll(cam_t, (w // 2 - pos + w) % w, 0)

@@ -25,6 +25,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rescan_line_sted_tpu.config import matmul_precision
+
+# engine matmul precision (HIGHEST unless RLS_MATMUL_PRECISION overrides;
+# see config.matmul_precision for the measured error budget)
+_PRECISION = matmul_precision(pallas=True)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -50,14 +56,14 @@ def _fused_kernel(offsets_ref, seed_ref, eff_col_ref, sample_yt_ref,
     emitted_t = sample_yt_ref[...] * ill                          # [W, H]
     cam_t = jnp.dot(gx_mat_t_ref[...], emitted_t,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)          # [W, H]
+                    precision=_PRECISION)          # [W, H]
     if binned_w != w:
         cam_t = jnp.dot(brow_ref[...], cam_t,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [W/b, H]
+                        precision=_PRECISION)  # [W/b, H]
         cam_t = jnp.dot(cam_t, bcol_ref[...],
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [W/b, H/b]
+                        precision=_PRECISION)  # [W/b, H/b]
     frame_scratch[:] = jnp.zeros_like(frame_scratch)
     if noisy:
         # Per-camera-frame shot noise from the hardware PRNG, drawn on the
