@@ -23,6 +23,7 @@ def _figure(args) -> None:
         dose_sweep_pipeline,
         fusion_pipeline,
         fov_pipeline,
+        html_report,
         line_scan_animation,
         rescan_pipeline,
     )
@@ -50,6 +51,10 @@ def _figure(args) -> None:
         "animation": lambda: line_scan_animation(
             args.out, size=args.size, depletion=args.depletion,
             seed=args.seed),
+        "report": lambda: html_report(
+            args.out, size=min(args.size, 256),
+            dose_budget=args.dose_budget, num_angles=args.num_angles,
+            rl_iters=args.rl_iters, seed=args.seed),
     }
     names = list(runners) if args.which == "all" else [args.which]
     for name in names:
@@ -96,7 +101,8 @@ def main(argv=None) -> None:
 
     fig = sub.add_parser("figure", help="run a figure-equivalent pipeline")
     fig.add_argument("which", choices=["comparison", "sweep", "fusion",
-                                       "rescan", "fov", "animation", "all"])
+                                       "rescan", "fov", "animation",
+                                       "report", "all"])
     fig.add_argument("--out", default="out")
     fig.add_argument("--size", type=int, default=256)
     fig.add_argument("--depletion", type=float, default=8.0)

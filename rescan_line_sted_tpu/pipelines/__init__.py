@@ -8,3 +8,4 @@ from rescan_line_sted_tpu.pipelines.figures import (  # noqa: F401
 from rescan_line_sted_tpu.pipelines.animation import (  # noqa: F401
     line_scan_animation,
 )
+from rescan_line_sted_tpu.pipelines.report import html_report  # noqa: F401

@@ -102,3 +102,19 @@ def test_dose_sweep_pipeline_rejects_stale_checkpoints(tmp_path):
     dose_sweep_pipeline(str(tmp_path), **kwargs)
     with pytest.raises(ValueError, match="different sweep settings"):
         dose_sweep_pipeline(str(tmp_path), **{**kwargs, "dose_budget": 60.0})
+
+
+def test_html_report(tmp_path):
+    """C15: the self-contained interactive publication report."""
+    from rescan_line_sted_tpu.pipelines import html_report
+
+    m = html_report(str(tmp_path), size=48, num_powers=2, num_angles=2,
+                    rl_iters=5, scan_frames=3)
+    path = tmp_path / "index.html"
+    assert path.exists()
+    html = path.read_text()
+    # self-contained: all images are data URIs, sliders wired per figure
+    assert html.count("data:image/png;base64,") == m["frames"]
+    assert html.count("<input type=\"range\"") == 3
+    assert "wire(" in html and "fig1-slider" in html
+    assert m["bytes"] > 10_000
