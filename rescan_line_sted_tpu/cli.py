@@ -118,11 +118,13 @@ def main(argv=None) -> None:
     fig.add_argument("--no-fuse", action="store_true",
                      help="sweep: skip multi-orientation RL fusion (report "
                           "raw single-orientation arms instead)")
-    fig.add_argument("--boundary", choices=["circular", "padded"],
+    fig.add_argument("--boundary",
+                     choices=["circular", "padded", "apodized"],
                      default="circular",
                      help="field boundary: circular wrap (grid-periodic "
-                          "world) or padded (open boundary via "
-                          "pad-acquire-crop)")
+                          "world), padded (open boundary via "
+                          "pad-acquire-crop), or apodized (raised-cosine "
+                          "edge taper)")
     fig.add_argument("--seed", type=int, default=0)
     fig.set_defaults(func=_figure)
 

@@ -48,6 +48,26 @@ def pad_sample(sample: jnp.ndarray, margin: int) -> jnp.ndarray:
     return jnp.pad(sample, ((margin, margin), (margin, margin)))
 
 
+def apodize_sample(sample: jnp.ndarray, margin: int) -> jnp.ndarray:
+    """Taper a sample to zero over ``margin`` pixels at every edge
+    (separable raised-cosine / Tukey window).
+
+    A cheap alternative to padded acquisition: the tapered field has no
+    content at the wrap seam, so circular-convolution artifacts vanish, at
+    the cost of attenuating (not faithfully imaging) the outer ``margin``
+    pixels. Use ``boundary="padded"`` when the edges themselves matter.
+    """
+    def window(n: int) -> jnp.ndarray:
+        x = jnp.arange(n, dtype=jnp.float32)
+        ramp_in = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.clip(x / margin, 0, 1))
+        ramp_out = 0.5 - 0.5 * jnp.cos(
+            jnp.pi * jnp.clip((n - 1 - x) / margin, 0, 1))
+        return ramp_in * ramp_out
+
+    h, w = sample.shape[-2:]
+    return sample * window(h)[:, None] * window(w)[None, :]
+
+
 def padded_geometry(geom, margin: int):
     """The same geometry on the padded grid (chunk adjusted to divide)."""
     h = geom.grid.height + 2 * margin

@@ -56,6 +56,17 @@ def line_sted_image(
     ``boundary``: ``"circular"`` or ``"padded"`` (open boundary via
     pad-acquire-crop; dose reported for the requested field).
     """
+    if boundary == "apodized":
+        # raised-cosine taper to zero at the edges: kills wrap artifacts
+        # without the padded-acquisition cost (see imaging/boundary.py)
+        from rescan_line_sted_tpu.imaging.boundary import (
+            apodize_sample,
+            default_margin,
+        )
+
+        sample = apodize_sample(
+            sample, default_margin(geom) if margin is None else margin)
+        boundary = "circular"
     if boundary == "padded":
         from rescan_line_sted_tpu.imaging.boundary import (
             acquire_padded,

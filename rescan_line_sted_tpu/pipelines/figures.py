@@ -123,7 +123,7 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     resolutions; see ``dose_matched_sweep``. ``boundary="padded"`` runs the
     whole sweep open-boundary (pad-acquire-crop).
     """
-    if boundary not in ("circular", "padded"):
+    if boundary not in ("circular", "padded", "apodized"):
         raise ValueError(f"unknown boundary {boundary!r}")
     margin = 0
     if boundary == "padded":
@@ -134,6 +134,14 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     grid = Grid(run_size, run_size)
     sample = jnp.pad(_default_sample(size),
                      ((margin, margin), (margin, margin)))
+    if boundary == "apodized":
+        from rescan_line_sted_tpu.imaging.boundary import (
+            apodize_sample,
+            default_margin,
+        )
+
+        sample = apodize_sample(
+            sample, default_margin(LineSTEDGeometry(grid)))
     pgeom, lgeom = PointSTEDGeometry(grid), LineSTEDGeometry(grid)
     pbase = PointSTEDParams.create(brightness=1.0)
     lbase = LineSTEDParams.create(brightness=1.0)

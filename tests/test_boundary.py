@@ -131,3 +131,22 @@ def test_point_engine_boundary_option():
                                          boundary="padded", margin=16).image)
     assert padded.shape == shape
     assert circ[-3:, :].sum() > 1e5 * max(padded[-3:, :].sum(), 1e-12)
+
+
+def test_apodized_boundary_kills_wrap():
+    """boundary="apodized": edge content is tapered away, so nothing wraps;
+    interior content is imaged identically (ROADMAP 3 remainder)."""
+    shape = (48, 48)
+    interior = jnp.zeros(shape).at[20:28, 20:28].set(1.0)
+    edge = interior.at[:, 0].set(1.0)
+    geom = LineSTEDGeometry(Grid(*shape), chunk=16)
+
+    circ = np.asarray(line_sted_image(edge, PARAMS, geom).image)
+    apod = np.asarray(line_sted_image(edge, PARAMS, geom,
+                                      boundary="apodized", margin=8).image)
+    # circular: the edge column wraps to the far side; apodized: it is gone
+    assert circ[:, -1].mean() > 1e5 * max(apod[:, -1].mean(), 1e-12)
+    # the interior is imaged as if the edge content weren't there
+    interior_only = np.asarray(line_sted_image(interior, PARAMS, geom).image)
+    np.testing.assert_allclose(apod[16:32, 16:32],
+                               interior_only[16:32, 16:32], rtol=1e-4)
