@@ -70,3 +70,19 @@ def test_fused_per_step_hardware_statistics():
                      / np.maximum(mean[sel], 1e-9)).mean()
         assert rel < 0.03
         assert 0.93 < var_ratio < 1.07
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel hardware PRNG needs a real TPU")
+def test_fused_per_step_deterministic_in_key():
+    """Same key -> bit-identical noisy image (seed derives from the key)."""
+    size = 128
+    sample = jax.random.uniform(jax.random.key(3), (size, size)) * 5.0
+    geom = LineSTEDGeometry(Grid(size, size), chunk=32)
+    f = jax.jit(lambda s, k: line_sted_image(
+        s, PARAMS, geom, key=k, method="scan", noise_mode="per_step").image)
+    a = np.asarray(f(sample, jax.random.key(11)))
+    b = np.asarray(f(sample, jax.random.key(11)))
+    c = np.asarray(f(sample, jax.random.key(12)))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
