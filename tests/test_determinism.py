@@ -49,3 +49,24 @@ def test_different_keys_differ():
     a = line_sted_image(SAMPLE, PARAMS, geom, key=jax.random.key(0)).image
     b = line_sted_image(SAMPLE, PARAMS, geom, key=jax.random.key(1)).image
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_subpixel_scan_deterministic_and_key_sensitive():
+    """The rfft-accumulation subpixel path: fixed key -> identical noisy
+    canvas; different key -> different."""
+    import jax
+
+    from rescan_line_sted_tpu.config import Grid, RescanGeometry, RescanParams
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    sample = jnp.ones((32, 32)) * 4.0
+    geom = RescanGeometry(Grid(32, 32), rescan_factor=1.5, chunk=16)
+    params = RescanParams.create(brightness=50.0)
+    f = jax.jit(lambda s, k: rescanned_line_sted_image(
+        s, params, geom, key=k, method="scan",
+        noise_mode="per_step").image)
+    a = np.asarray(f(sample, jax.random.key(5)))
+    b = np.asarray(f(sample, jax.random.key(5)))
+    c = np.asarray(f(sample, jax.random.key(6)))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)

@@ -66,3 +66,55 @@ def test_fuzz_point_sted(seed):
     for method in ("analytic", "scan"):
         got = point_sted_image(sample, params, geom, method=method).image
         assert rel_err(got, want) < 1e-5, (method, kw)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_rescan_fractional_R_binning(seed):
+    """Random fractional rescan factors x binnings x physics params: both
+    engines hold the 1e-5 bar against the f64 subpixel oracle (the scan
+    engine on the raw sample -- shared wrap semantics -- and the analytic
+    closed form on an x-padded sample, per its documented seam caveat)."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    rng = np.random.default_rng(100 + seed)
+    b = int(rng.choice([1, 2, 4]))
+    size = int(rng.choice([32, 48])) if b != 4 else 32
+    r = float(rng.uniform(1.2, 4.0))
+    kw = dict(
+        sigma_exc=float(rng.uniform(1.0, 3.0)),
+        sigma_det=float(rng.uniform(1.0, 3.0)),
+        stripe_period=float(rng.uniform(5.0, 14.0)),
+        depletion=float(rng.uniform(0.0, 16.0)),
+        brightness=float(rng.uniform(0.5, 100.0)),
+    )
+    sample = samples.rings((size, size), period=float(rng.uniform(6.0, 12.0)))
+    geom = RescanGeometry(Grid(size, size), rescan_factor=r, binning=b,
+                          chunk=size // 2)
+    params = LineSTEDParams.create(slit_halfwidth=3.0, **kw)
+
+    # scan engine shares the oracle's wrap semantics: raw sample, any params
+    want = oracle.rescanned_line_sted_image(
+        np.asarray(sample, np.float64), rescan_factor=r, binning=b,
+        reassignment="subpixel", **kw)
+    got = rescanned_line_sted_image(sample, params, geom,
+                                    method="scan").image
+    assert rel_err(got, want) < 1e-5, ("scan", r, b, kw)
+
+    # analytic closed form carries the circular-seam caveat: the sample
+    # must be zero within ~PSF support of its x-edges, so re-draw the
+    # sigmas small enough that a size//4 margin holds 1e-5 (Gaussian tail
+    # below 1e-5 needs ~4.8 sigma of margin)
+    max_sigma = (size // 4) / 5.5
+    kw["sigma_exc"] = float(rng.uniform(0.8, max_sigma))
+    kw["sigma_det"] = float(rng.uniform(0.8, max_sigma))
+    params = LineSTEDParams.create(slit_halfwidth=3.0, **kw)
+    margin = size // 4
+    mask = (np.arange(size) >= margin) & (np.arange(size) < size - margin)
+    padded = sample * mask[None, :]
+    want_p = oracle.rescanned_line_sted_image(
+        np.asarray(padded, np.float64), rescan_factor=r, binning=b,
+        reassignment="subpixel", **kw)
+    got_p = rescanned_line_sted_image(padded, params, geom,
+                                      method="analytic").image
+    assert rel_err(got_p, want_p) < 1e-5, ("analytic", r, b, kw)
