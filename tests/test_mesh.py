@@ -115,3 +115,27 @@ def test_large_fov_spatially_sharded_acquisition():
     jax.block_until_ready(img)
     assert img.shape == (big, big)
     assert np.isfinite(np.asarray(img[::64, ::64])).all()
+
+
+def test_orientation_sharded_fusion():
+    """Shard the orientation (view) axis over 'batch' and RL-fuse: GSPMD
+    inserts the cross-device collectives the fusion's view-sum needs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.algorithms import richardson_lucy_views
+    from rescan_line_sted_tpu.imaging.orientations import (
+        multi_orientation_line_sted,
+    )
+
+    mesh = make_mesh({"batch": 8})
+    angles = jnp.arange(8) * (jnp.pi / 8)
+    views, kernels = multi_orientation_line_sted(
+        SAMPLE, LBASE.replace(depletion=jnp.float32(8.0)), LGEOM, angles)
+    sharding = NamedSharding(mesh, P("batch", None, None))
+    views_s = jax.device_put(views, sharding)
+    kernels_s = jax.device_put(kernels, sharding)
+    fused_s = jax.jit(lambda v, k: richardson_lucy_views(v, k, num_iter=10))(
+        views_s, kernels_s)
+    fused = richardson_lucy_views(views, kernels, num_iter=10)
+    np.testing.assert_allclose(np.asarray(fused_s), np.asarray(fused),
+                               rtol=2e-4, atol=1e-5)
