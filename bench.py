@@ -143,6 +143,26 @@ def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
     return percall, SCAN_SIZE / dev_dt
 
 
+def bench_fractional_rescan_analytic():
+    """Closed-form rescanned acquisition at the theory-optimal FRACTIONAL
+    rescan factor (subpixel placement, r2 capability): equivalent scan
+    steps/sec of the whole-canvas analytic engine."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    from rescan_line_sted_tpu.imaging.rescan import optimal_rescan_factor
+
+    size = SCAN_SIZE
+    params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+    r_opt = round(float(optimal_rescan_factor(params, size)), 3)
+    geom = RescanGeometry(Grid(size, size), rescan_factor=r_opt, chunk=32)
+    sample = samples.siemens_star((size, size))
+    dev_dt = _amortized_image_s(
+        lambda s, k: rescanned_line_sted_image(
+            s, params, geom, key=k, method="analytic").image,
+        sample, geom.canvas_shape, seed_off=800)
+    return size / dev_dt, r_opt
+
+
 def bench_large_fov_steps_per_sec(size: int = 2048):
     """Single-chip large-FOV line-STED scan (SURVEY section 6 long-context
     row; the multi-chip spatially-sharded version runs in dryrun_multichip)."""
@@ -296,6 +316,7 @@ def main():
         "per_step")
     rescan_sps, rescan_dev = bench_rescan_steps_per_sec()
     _, rescan_dev_ps = bench_rescan_steps_per_sec("per_step")
+    frac_dev, r_opt = bench_fractional_rescan_analytic()
     large_fov_dev = bench_large_fov_steps_per_sec(2048)
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
@@ -333,6 +354,9 @@ def main():
             "rescan_scan_steps_per_sec_device": round(rescan_dev, 1),
             "rescan_scan_steps_per_sec_device_per_step_noise":
                 round(rescan_dev_ps, 1),
+            "rescan_analytic_fractional_R_steps_per_sec_device":
+                round(frac_dev, 1),
+            "rescan_optimal_fractional_R": r_opt,
             "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
             "line_sted_scan_size": SCAN_SIZE,
             "scan_wall_s_per_image": round(scan_dt, 4),
