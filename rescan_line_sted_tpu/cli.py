@@ -57,6 +57,11 @@ def _figure(args) -> None:
             rl_iters=args.rl_iters, seed=args.seed),
     }
     names = list(runners) if args.which == "all" else [args.which]
+    if args.boundary != "circular" and args.which not in ("sweep", "all"):
+        raise SystemExit(
+            f"--boundary {args.boundary} is only wired into the 'sweep' "
+            "figure; other pipelines acquire with circular boundaries "
+            "(use the engine-level boundary= argument in the API)")
     for name in names:
         metrics = runners[name]()
         print(json.dumps(metrics, default=float))
@@ -121,10 +126,10 @@ def main(argv=None) -> None:
     fig.add_argument("--boundary",
                      choices=["circular", "padded", "apodized"],
                      default="circular",
-                     help="field boundary: circular wrap (grid-periodic "
-                          "world), padded (open boundary via "
-                          "pad-acquire-crop), or apodized (raised-cosine "
-                          "edge taper)")
+                     help="sweep: field boundary -- circular wrap "
+                          "(grid-periodic world), padded (open boundary "
+                          "via pad-acquire-crop), or apodized "
+                          "(raised-cosine edge taper)")
     fig.add_argument("--seed", type=int, default=0)
     fig.set_defaults(func=_figure)
 

@@ -57,6 +57,11 @@ def apodize_sample(sample: jnp.ndarray, margin: int) -> jnp.ndarray:
     the cost of attenuating (not faithfully imaging) the outer ``margin``
     pixels. Use ``boundary="padded"`` when the edges themselves matter.
     """
+    if margin < 0:
+        raise ValueError(f"margin must be >= 0, got {margin}")
+    if margin == 0:
+        return sample  # no taper requested
+
     def window(n: int) -> jnp.ndarray:
         x = jnp.arange(n, dtype=jnp.float32)
         ramp_in = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.clip(x / margin, 0, 1))

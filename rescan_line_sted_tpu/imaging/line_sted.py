@@ -45,6 +45,7 @@ def line_sted_image(
     boundary: str = "circular",
     margin: int | None = None,
     use_pallas: bool | None = None,
+    slit_support: int | None = None,
 ) -> AcquisitionResult:
     """Simulate a full descanned line-STED acquisition of ``sample``.
 
@@ -55,6 +56,11 @@ def line_sted_image(
     samples every camera frame like the reference's loop does.
     ``boundary``: ``"circular"`` or ``"padded"`` (open boundary via
     pad-acquire-crop; dose reported for the requested field).
+    ``slit_support`` (per-step fused TPU path): static height of the camera
+    window the in-kernel Poisson draw covers; must exceed twice the slit
+    halfwidth. Sized automatically when the halfwidth is a concrete value;
+    with a *traced* halfwidth the default is ``max(64, w//4)`` -- pass it
+    explicitly (or ``use_pallas=False``) for traced halfwidths beyond w/8.
     """
     if boundary == "apodized":
         # raised-cosine taper to zero at the edges: kills wrap artifacts
@@ -77,14 +83,15 @@ def line_sted_image(
             lambda s, g, **kw: line_sted_image(s, params, g, **kw),
             sample, geom, default_margin(geom) if margin is None else margin,
             key=key, method=method, noise_mode=noise_mode,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, slit_support=slit_support)
         return res.replace(dose=line_sted_dose(params, geom))
     if boundary != "circular":
         raise ValueError(f"unknown boundary {boundary!r}")
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
-        image = _scan(sample, params, geom, key, noise_mode, use_pallas)
+        image = _scan(sample, params, geom, key, noise_mode, use_pallas,
+                      slit_support)
     else:
         raise ValueError(f"unknown method {method!r}")
     return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
@@ -104,7 +111,7 @@ def _analytic(sample, params, geom, key):
 
 
 def _scan(sample, params, geom, key, noise_mode="collapsed",
-          use_pallas=None):
+          use_pallas=None, slit_support=None):
     if noise_mode not in ("collapsed", "per_step"):
         raise ValueError(f"unknown noise_mode {noise_mode!r}")
     shape = geom.grid.shape
@@ -141,24 +148,27 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
     # x-convolution, and per-camera-frame Poisson from the hardware PRNG --
     # no [C, H, W] chunks in HBM, no threefry. Only the slit's static
     # support window is sampled (descanned detection never reads the rest
-    # of the frame, so its noise cannot reach the output); slit halfwidths
-    # beyond ~31 px would need a wider window -- the engine falls back to
-    # the lax.scan path rather than silently under-dispersing, using the
-    # conservative static bound w/8 on the (traced) halfwidth.
+    # of the frame, so its noise cannot reach the output). The window is
+    # sized from the halfwidth when it is a concrete value; for a *traced*
+    # halfwidth the default window is max(64, w//4) -- wider slits need an
+    # explicit slit_support (or use_pallas=False), see the engine docstring.
     gx_mat = fftconv.circulant_matrix(gx)
     on_tpu = jax.default_backend() == "tpu"
-    try:  # concrete (untraced) halfwidth: size the window to fit exactly
-        hw = float(params.slit_halfwidth)
-        slit_support = min(w, int(2 * hw) + 10)
-        slit_fits = slit_support >= 2 * hw + 2 or slit_support >= w
-    except (TypeError, jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError):
-        # traced halfwidth: assume it fits the default 64-px window
-        # (halfwidth <= 31 px -- any physical descanned slit; see
-        # line_fused.py for what a violation would mean)
-        slit_support, slit_fits = 64, True
-    vmem_ok = (w * w + 12 * max(slit_support, 64) * 128) * 4 <= 14_000_000 \
-        and w % 8 == 0
+    slit_fits = True
+    if slit_support is None:
+        try:  # concrete (untraced) halfwidth: size the window to fit
+            hw = float(params.slit_halfwidth)
+            slit_support = min(w, int(2 * hw) + 10)
+            slit_fits = slit_support >= 2 * hw + 2 or slit_support >= w
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            slit_support = min(w, max(64, w // 4))
+    win = min(w, ((slit_support + 7) // 8) * 8)
+    # VMEM model: resident circulant [w, w] + the batched sampler's 44
+    # uniform planes of [win, lane] + a few frame temporaries (lane is 128
+    # only when h tiles evenly; otherwise the full h is one tile)
+    lane = 128 if h % 128 == 0 else h
+    vmem_ok = (w * w + 50 * win * lane) * 4 <= 14_000_000 and w % 8 == 0
     if on_tpu and vmem_ok and slit_fits and use_pallas is not False:
         from rescan_line_sted_tpu.kernels.line_fused import line_sted_fused
 

@@ -95,8 +95,12 @@ class SweepCheckpoint:
     def completed(self) -> list[int]:
         out = []
         for name in os.listdir(self.directory):
-            if name.startswith("chunk_") and name.endswith(".npz"):
-                out.append(int(name[len("chunk_"):-len(".npz")]))
+            # strictly chunk_<digits>.npz: a stale chunk_*.npz.tmp.npz left
+            # by an interrupted save must not crash (or count as) a resume
+            stem = name[len("chunk_"):-len(".npz")]
+            if (name.startswith("chunk_") and name.endswith(".npz")
+                    and stem.isdigit()):
+                out.append(int(stem))
         return sorted(out)
 
     def write_meta(self, **meta) -> None:

@@ -78,9 +78,9 @@ def _curves_b64(powers, point_fx, line_fx, rescan_fx, psig, lsig) -> str:
     import matplotlib.pyplot as plt
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.6))
-    ax1.plot(powers, point_fx, label="point STED")
-    ax1.plot(powers, line_fx, label="line STED (fused)")
-    ax1.plot(powers, rescan_fx, "--", label="rescanned line STED")
+    ax1.plot(powers, point_fx, label="point STED (RL-restored)")
+    ax1.plot(powers, line_fx, label="line STED (RL fused)")
+    ax1.plot(powers, rescan_fx, "--", label="rescanned line STED (RL fused)")
     ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
     ax1.legend(fontsize=8), ax1.set_title("resolution at matched dose")
     ax2.plot(powers, psig, label="point")
@@ -156,9 +156,12 @@ def html_report(out_dir: str, size: int = 192, num_powers: int = 6,
     pbase = PointSTEDParams.create(brightness=1.0)
     lbase = LineSTEDParams.create(brightness=1.0)
     powers = jnp.linspace(0.0, max_power, num_powers)
+    # the paper's protocol: orientation-fused arms + RL-restored point arm,
+    # so the published images AND the figure-4 curves are the fused results
     sweep = jax.jit(lambda p, k: dose_matched_sweep(
         sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
-        orientations=2, rescan_geom=rgeom))(powers, key)
+        orientations=2, rescan_geom=rgeom, fuse_orientations=True,
+        fusion_iters=min(rl_iters, 30)))(powers, key)
     powers_np = np.asarray(powers)
 
     frames1, labels1 = [], []
@@ -167,7 +170,8 @@ def html_report(out_dir: str, size: int = 192, num_powers: int = 6,
             [np.asarray(sweep.point.image[i]),
              np.asarray(sweep.line.image[i]),
              np.asarray(sweep.rescan.image[i])],
-            ["point STED", "descanned line STED", "rescanned line STED"]))
+            ["point STED (RL-restored)", "line STED (2-orient. RL fused)",
+             "rescanned line STED (RL fused)"]))
         labels1.append(f"depletion power s = {s:.1f}")
 
     # --- figure 2: scan process (camera frame | accumulating image) -------
@@ -244,8 +248,8 @@ dose-matched exposure.</p>
 
 <h2>4. Resolution / signal tradeoff</h2>
 <div class="figure"><img src="{curves}" alt="curves"/>
-<p class="caption">System-kernel FWHM and emitted signal vs depletion power
-at matched photodose.</p></div>
+<p class="caption">Achieved (post-RL-fusion) point-response FWHM and
+emitted signal vs depletion power at matched photodose.</p></div>
 </body></html>
 """
     path = os.path.join(out_dir, "index.html")

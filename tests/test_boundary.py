@@ -150,3 +150,14 @@ def test_apodized_boundary_kills_wrap():
     interior_only = np.asarray(line_sted_image(interior, PARAMS, geom).image)
     np.testing.assert_allclose(apod[16:32, 16:32],
                                interior_only[16:32, 16:32], rtol=1e-4)
+
+
+def test_apodize_margin_zero_is_identity():
+    from rescan_line_sted_tpu.imaging.boundary import apodize_sample
+
+    s = jnp.ones((16, 16))
+    np.testing.assert_array_equal(np.asarray(apodize_sample(s, 0)),
+                                  np.asarray(s))
+    import pytest
+    with pytest.raises(ValueError, match="margin"):
+        apodize_sample(s, -1)

@@ -114,3 +114,13 @@ def test_tiff_rejects_multistrip_tags(tmp_path):
         f.write(bytes(buf))
     with pytest.raises(ValueError, match="count=2"):
         tif_to_array(path)
+
+
+def test_completed_skips_stale_tmp_files(tmp_path):
+    """A chunk_*.npz.tmp.npz left by an interrupted save must neither crash
+    completed() nor count as a finished chunk."""
+    ckpt = SweepCheckpoint(str(tmp_path / "ck"))
+    ckpt.save(0, {"x": np.zeros(2)})
+    with open(tmp_path / "ck" / "chunk_00003.npz.tmp.npz", "wb") as f:
+        f.write(b"torn")
+    assert ckpt.completed() == [0]
