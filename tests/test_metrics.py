@@ -62,3 +62,18 @@ def test_fwhm_1d_guards_against_contract_violations():
     single = jnp.exp(-0.5 * ((x - 32) / 3.0) ** 2)
     np.testing.assert_allclose(float(fwhm_1d(single)), 2.3548 * 3.0,
                                rtol=1e-2)
+
+
+def test_matmul_precision_knob(monkeypatch):
+    import jax
+
+    from rescan_line_sted_tpu.config import matmul_precision
+
+    monkeypatch.delenv("RLS_MATMUL_PRECISION", raising=False)
+    assert matmul_precision() == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("RLS_MATMUL_PRECISION", "default")
+    assert matmul_precision() == jax.lax.Precision.DEFAULT
+    monkeypatch.setenv("RLS_MATMUL_PRECISION", "high")
+    assert matmul_precision() == jax.lax.Precision.HIGH
+    # Mosaic has no in-kernel 3-pass dots: pallas callers get HIGHEST
+    assert matmul_precision(pallas=True) == jax.lax.Precision.HIGHEST
