@@ -10,5 +10,12 @@ from rescan_line_sted_tpu.imaging.frames import (  # noqa: F401
     line_sted_camera_frames,
     point_sted_camera_frames,
 )
-from rescan_line_sted_tpu.imaging.boundary import acquire_padded  # noqa: F401
+from rescan_line_sted_tpu.imaging.analytic import (  # noqa: F401
+    rescan_canvas_mean,
+    rescan_x_kernels_rfft,
+)
+from rescan_line_sted_tpu.imaging.boundary import (  # noqa: F401
+    acquire_padded,
+    apodize_sample,
+)
 from rescan_line_sted_tpu.imaging.rescan import optimal_rescan_factor  # noqa: F401
