@@ -206,6 +206,16 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
             line=merged.line.replace(image=crop(merged.line.image)),
             rescan=merged.rescan.replace(image=rimg))
 
+    np.savez(os.path.join(out_dir, "dose_sweep_curves.npz"),
+             depletion_powers=np.asarray(merged.depletion_powers),
+             point_fwhm_x=np.asarray(merged.point.fwhm_x),
+             point_fwhm_y=np.asarray(merged.point.fwhm_y),
+             line_fwhm_x=np.asarray(merged.line.fwhm_x),
+             line_fwhm_y=np.asarray(merged.line.fwhm_y),
+             rescan_fwhm_x=np.asarray(merged.rescan.fwhm_x),
+             rescan_fwhm_y=np.asarray(merged.rescan.fwhm_y),
+             point_signal=np.asarray(merged.point.emitted_signal),
+             line_signal=np.asarray(merged.line.emitted_signal))
     _save_panels(out_dir, "dose_sweep_images", {
         "point_s0": merged.point.image[0],
         "point_smax": merged.point.image[-1],

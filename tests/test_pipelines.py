@@ -79,6 +79,9 @@ def test_dose_sweep_pipeline_ragged_final_chunk(tmp_path):
                             max_power=8.0, dose_budget=50.0)
     assert m["num_sweep_points_run"] == 3
     assert np.isfinite(m["point_fwhm_x_at_smax"])
+    curves = np.load(str(tmp_path / "dose_sweep_curves.npz"))
+    assert curves["depletion_powers"].shape == (3,)
+    assert curves["line_fwhm_x"].shape == (3,)
 
 
 def test_dose_sweep_pipeline_fused_and_padded(tmp_path):
