@@ -35,6 +35,8 @@ Poisson); use ``noise_mode="per_step"`` for camera-faithful statistics.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -213,43 +215,70 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             canvas = maybe_poisson(key, canvas)
         return canvas
 
-    positions = jnp.arange(w).reshape(n_chunks, chunk)
-    xs = (positions, jax.random.split(key, n_chunks)) if per_step else positions
     subpixel = reassignment == "subpixel"
+    ph_pair = None
     if subpixel:
         # Per-position canvas phase ramps exp(-2i pi k off/wc), built in f64
         # on the host (f32 phase arguments lose ~1e-4 at these magnitudes).
+        # Kept as a (cos, sin) f32 pair: complex64 host->device transfer AND
+        # complex gather are UNIMPLEMENTED on some TPU runtimes (the axon
+        # tunnel); gather the real parts, form complex on device after.
         import numpy as np
         kk = np.arange(wc // 2 + 1, dtype=np.float64)
         offs = (float(geom.rescan_factor) - 1.0) * np.arange(w) / b
         ph = np.exp(-2j * np.pi * kk[None, :] * offs[:, None] / wc)
-        # Kept as a (cos, sin) f32 pair: complex64 host->device transfer AND
-        # complex gather are UNIMPLEMENTED on some TPU runtimes (the axon
-        # tunnel); gather the real parts, form complex on device after.
-        pos_ph_re = jnp.asarray(ph.real.astype(np.float32))      # [W, K]
-        pos_ph_im = jnp.asarray(ph.imag.astype(np.float32))
+        ph_pair = (jnp.asarray(ph.real.astype(np.float32)),      # [W, K]
+                   jnp.asarray(ph.imag.astype(np.float32)))
 
-    def frames_for(pos, k):
-        ill = shifted_profiles(eff, pos)                         # [C, W]
-        emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
-        cam = maybe_poisson(
-            k, params.brightness
-            * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
-                         preferred_element_type=jnp.float32,
-                         precision=_PRECISION))
-        return _rebin(cam, b)                                    # [C, H/b, W/b]
+    keys = jax.random.split(key, n_chunks) if per_step else None
+    canvas = _scan_fallback(
+        sample_y, params.brightness * eff, gx_mat, keys, ph_pair,
+        wc=wc, chunk=chunk, b=b, rescan_factor=float(geom.rescan_factor),
+        subpixel=subpixel, use_pallas=use_pallas)
+    if key is not None and noise_mode == "collapsed":
+        canvas = maybe_poisson(key, canvas)
+    return canvas
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wc", "chunk", "b", "rescan_factor", "subpixel",
+                     "use_pallas"))
+def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
+                   rescan_factor, subpixel, use_pallas):
+    """The chunked lax.scan engine (rounded scatter OR subpixel rfft
+    accumulation), as a module-level jitted unit.
+
+    Jitting here (it inlines for free under an outer jit) keeps EAGER
+    callers working on runtimes whose eager mode cannot handle the complex
+    intermediate chain (the axon tunnel, see docs/PERFORMANCE.md).
+    ``eff_b`` is the brightness-scaled effective profile; ``keys`` is
+    [n_chunks] PRNG keys for per-step noise or None.
+    """
+    h, w = sample_y.shape
+    hc = h // b
+    per_step = keys is not None
+    n_chunks = w // chunk
+    positions = jnp.arange(w).reshape(n_chunks, chunk)
+    xs = (positions, keys) if per_step else positions
 
     def body(canvas, chunk_in):
         pos, k = chunk_in if per_step else (chunk_in, None)
-        frames = frames_for(pos, k)
+        ill = shifted_profiles(eff_b, pos)                       # [C, W]
+        emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
+        cam = maybe_poisson(
+            k, jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
+                          preferred_element_type=jnp.float32,
+                          precision=_PRECISION))
+        frames = _rebin(cam, b)                                  # [C, H/b, W/b]
         if subpixel:
             spec = jnp.fft.rfft(frames, n=wc, axis=-1)           # [C, H/b, K]
-            ph_c = jax.lax.complex(pos_ph_re[pos], pos_ph_im[pos])
+            ph_c = jax.lax.complex(ph_pair[0][pos], ph_pair[1][pos])
             add = jnp.einsum("chk,ck->hk", spec, ph_c,
                              precision=_PRECISION)
             return canvas + add, None
         offsets = jnp.round(
-            (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
+            (rescan_factor - 1.0) * pos / b).astype(jnp.int32)
         return rescan_accumulate(canvas, frames, offsets,
                                  use_pallas=use_pallas), None
 
@@ -258,6 +287,4 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     canvas, _ = jax.lax.scan(body, init, xs)
     if subpixel:
         canvas = jnp.fft.irfft(canvas, n=wc, axis=-1)
-    if key is not None and noise_mode == "collapsed":
-        canvas = maybe_poisson(key, canvas)
     return canvas

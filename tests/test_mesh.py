@@ -6,6 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# these tests exercise multi-device sharding on the virtual 8-device CPU
+# platform (tests/conftest.py); under RLS_TEST_TPU=1 there is one real chip
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="mesh tests need >= 8 (virtual) devices")
+
 from rescan_line_sted_tpu.config import (
     Grid,
     LineSTEDGeometry,

@@ -38,10 +38,14 @@ def test_impl_dispatch():
     t = poisson_counts(jax.random.key(2), lam, impl="threefry")
     a = poisson_counts(jax.random.key(2), lam, impl="auto")
     assert t.shape == a.shape == (64,)
-    with pytest.raises(Exception):
-        # forcing the TPU kernel off-TPU must fail loudly, not silently lie
-        jax.block_until_ready(
-            poisson_counts(jax.random.key(2), lam, impl="pallas"))
+    if jax.default_backend() != "tpu":
+        with pytest.raises(Exception):
+            # forcing the TPU kernel off-TPU must fail loudly, not lie
+            jax.block_until_ready(
+                poisson_counts(jax.random.key(2), lam, impl="pallas"))
+    else:  # on real hardware the forced kernel simply works
+        p = poisson_counts(jax.random.key(2), lam, impl="pallas")
+        assert p.shape == (64,)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
