@@ -15,15 +15,19 @@ Methods:
   path away from the circular seam.
 * ``"scan"``: the per-scan-position process. ``reassignment="rounded"``
   snaps each frame's offset to the nearest binned canvas pixel (exact when
-  ``(R-1)/b`` is an integer); on TPU with collapsed noise it runs as ONE
-  fused Pallas megakernel (``kernels/rescan_fused.py``: in-register
-  illumination roll -> emit -> MXU circulant matmul -> scatter-accumulate,
-  canvas VMEM-resident), else a ``lax.scan`` with the Pallas
-  rescan-accumulate scatter kernel or the XLA ``.at[].add`` fallback.
-  ``reassignment="subpixel"`` places every frame at its exact fractional
-  offset by accumulating in the canvas rfft domain with per-position phase
-  ramps -- the ideal continuous rescan sweep. ``"auto"`` (default) picks
-  subpixel exactly when the offsets are fractional.
+  ``(R-1)/b`` is an integer); ``"subpixel"`` places every frame at its
+  exact fractional offset -- the ideal continuous rescan sweep; ``"auto"``
+  (default) picks subpixel exactly when the offsets are fractional.
+  Scheduling: on TPU, collapsed-noise scans accumulate frame rffts times
+  per-position phase ramps in the canvas spectral domain (the fastest
+  placement measured, exact for both reassignment modes); per-step-noise
+  rounded scans run as ONE fused Pallas megakernel
+  (``kernels/rescan_fused.py``: in-register illumination roll -> emit ->
+  MXU circulant matmul -> in-kernel hardware-PRNG Poisson ->
+  scatter-accumulate, canvas VMEM-resident; also selectable for collapsed
+  with ``use_pallas=True``); everything else is a ``lax.scan`` with the
+  Pallas rescan-accumulate scatter kernel or the XLA ``.at[].add``
+  fallback.
 
 Noise exactness: with integer reassignment each camera pixel lands on ONE
 canvas pixel, so collapsed Poisson is distributionally exact
@@ -182,9 +186,13 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
 
     # Fused megakernel path: the whole scan in ONE pallas_call with the
     # canvas resident in VMEM (kernels/rescan_fused.py), including per-step
-    # shot noise drawn in-kernel from the hardware PRNG. Narrow canvases
+    # shot noise drawn in-kernel from the hardware PRNG. Used by DEFAULT
+    # only for per-step noise (where in-kernel sampling is ~3x the lax.scan
+    # path); for collapsed noise the rfft phase-accumulation engine below
+    # measures ~1.5x faster still (docs/PERFORMANCE.md), so the megakernel
+    # needs an explicit use_pallas=True there. Narrow canvases
     # (rescan_factor close to 1, where the 8-aligned padded frame would not
-    # fit) route to the lax.scan engine, whose scatter handles any width.
+    # fit) route to the lax.scan engine, whose placement handles any width.
     on_tpu = jax.default_backend() == "tpu"
     fused_fits = (w // b + 7) // 8 * 8 + 8 <= wc
     # per-step noise: lane-tiled kernel (128 binned lanes at a time), so
@@ -194,9 +202,8 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     lane = 128 if (hb_ % 128 == 0 and hb_ > 128) else hb_
     noisy_vmem_ok = (w * w + w * lane * b + (wc + wb_ + 16) * lane
                      + 8 * wb_ * lane) * 4 <= 14_000_000
-    fused_wanted = (use_pallas or (use_pallas is None and on_tpu)) \
-        if not per_step else (on_tpu and use_pallas is not False
-                              and noisy_vmem_ok)
+    fused_wanted = (use_pallas is True) if not per_step \
+        else (on_tpu and use_pallas is not False and noisy_vmem_ok)
     if reassignment == "rounded" and fused_fits and fused_wanted:
         from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused
 
@@ -216,8 +223,15 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         return canvas
 
     subpixel = reassignment == "subpixel"
+    # Placement mechanism: accumulate frame rffts times per-position phase
+    # ramps (exact for subpixel offsets; for rounded offsets the phases are
+    # exact roots of unity, identical to the scatter). Measured FASTER than
+    # both the scatter and the fused megakernel on TPU for collapsed noise,
+    # so it is the on-TPU default; the scatter engine remains for per-step
+    # rounded fallbacks and off-TPU collapsed (cheaper than CPU FFTs).
+    phase_accum = subpixel or (not per_step and on_tpu)
     ph_pair = None
-    if subpixel:
+    if phase_accum:
         # Per-position canvas phase ramps exp(-2i pi k off/wc), built in f64
         # on the host (f32 phase arguments lose ~1e-4 at these magnitudes).
         # Kept as a (cos, sin) f32 pair: complex64 host->device transfer AND
@@ -226,6 +240,8 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         import numpy as np
         kk = np.arange(wc // 2 + 1, dtype=np.float64)
         offs = (float(geom.rescan_factor) - 1.0) * np.arange(w) / b
+        if not subpixel:
+            offs = np.round(offs)
         ph = np.exp(-2j * np.pi * kk[None, :] * offs[:, None] / wc)
         ph_pair = (jnp.asarray(ph.real.astype(np.float32)),      # [W, K]
                    jnp.asarray(ph.imag.astype(np.float32)))
@@ -234,7 +250,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     canvas = _scan_fallback(
         sample_y, params.brightness * eff, gx_mat, keys, ph_pair,
         wc=wc, chunk=chunk, b=b, rescan_factor=float(geom.rescan_factor),
-        subpixel=subpixel, use_pallas=use_pallas)
+        phase_accum=phase_accum, use_pallas=use_pallas)
     if key is not None and noise_mode == "collapsed":
         canvas = maybe_poisson(key, canvas)
     return canvas
@@ -242,11 +258,11 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wc", "chunk", "b", "rescan_factor", "subpixel",
+    static_argnames=("wc", "chunk", "b", "rescan_factor", "phase_accum",
                      "use_pallas"))
 def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
-                   rescan_factor, subpixel, use_pallas):
-    """The chunked lax.scan engine (rounded scatter OR subpixel rfft
+                   rescan_factor, phase_accum, use_pallas):
+    """The chunked lax.scan engine (scatter OR rfft phase
     accumulation), as a module-level jitted unit.
 
     Jitting here (it inlines for free under an outer jit) keeps EAGER
@@ -271,7 +287,7 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
                           preferred_element_type=jnp.float32,
                           precision=_PRECISION))
         frames = _rebin(cam, b)                                  # [C, H/b, W/b]
-        if subpixel:
+        if phase_accum:
             spec = jnp.fft.rfft(frames, n=wc, axis=-1)           # [C, H/b, K]
             ph_c = jax.lax.complex(ph_pair[0][pos], ph_pair[1][pos])
             add = jnp.einsum("chk,ck->hk", spec, ph_c,
@@ -282,9 +298,9 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
         return rescan_accumulate(canvas, frames, offsets,
                                  use_pallas=use_pallas), None
 
-    init = jnp.zeros((hc, wc // 2 + 1), jnp.complex64) if subpixel \
+    init = jnp.zeros((hc, wc // 2 + 1), jnp.complex64) if phase_accum \
         else jnp.zeros((hc, wc), jnp.float32)
     canvas, _ = jax.lax.scan(body, init, xs)
-    if subpixel:
+    if phase_accum:
         canvas = jnp.fft.irfft(canvas, n=wc, axis=-1)
     return canvas
