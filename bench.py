@@ -118,7 +118,8 @@ def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
 
 
 def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
-    """Rescanned line-STED scan throughput (fused Pallas megakernel on TPU)."""
+    """Rescanned line-STED scan throughput (default engine routing: rfft
+    phase accumulation for collapsed, fused Pallas megakernel per-step)."""
     from rescan_line_sted_tpu.config import RescanGeometry
     from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
 
@@ -350,7 +351,7 @@ def main():
                 round(steps_per_sec_ps, 1),
             "line_sted_scan_steps_per_sec_device_per_step_noise":
                 round(steps_dev_ps, 1),
-            "rescan_scan_steps_per_sec_chip_fused": round(rescan_sps, 1),
+            "rescan_scan_steps_per_sec_chip": round(rescan_sps, 1),
             "rescan_scan_steps_per_sec_device": round(rescan_dev, 1),
             "rescan_scan_steps_per_sec_device_per_step_noise":
                 round(rescan_dev_ps, 1),
