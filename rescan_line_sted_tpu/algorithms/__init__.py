@@ -19,3 +19,7 @@ from rescan_line_sted_tpu.algorithms.fusion import (  # noqa: F401
 from rescan_line_sted_tpu.algorithms.calibration import (  # noqa: F401
     fit_line_sted_params,
 )
+from rescan_line_sted_tpu.algorithms.frc import (  # noqa: F401
+    frc_curve,
+    frc_resolution,
+)
