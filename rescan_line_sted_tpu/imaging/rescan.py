@@ -35,6 +35,11 @@ canvas pixel, so collapsed Poisson is distributionally exact
 canvas band-limitedly, so ``noise_mode="collapsed"`` then means "shot noise
 of the ideal canvas" (the sum of interpolated Poissons is no longer exactly
 Poisson); use ``noise_mode="per_step"`` for camera-faithful statistics.
+Note that band-limited placement of integer photon counts carries sinc
+ringing: per-step subpixel canvases contain small negative excursions
+(~0.05% of the total mass at typical counts) exactly as an ideal continuous
+reassignment of discrete photons would; clamp at zero downstream if a
+nonnegative canvas is required (RL fusion already handles this).
 """
 
 from __future__ import annotations
@@ -227,9 +232,15 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # ramps (exact for subpixel offsets; for rounded offsets the phases are
     # exact roots of unity, identical to the scatter). Measured FASTER than
     # both the scatter and the fused megakernel on TPU for collapsed noise,
-    # so it is the on-TPU default; the scatter engine remains for per-step
-    # rounded fallbacks and off-TPU collapsed (cheaper than CPU FFTs).
-    phase_accum = subpixel or (not per_step and on_tpu)
+    # so it is the on-TPU default; per-step noise on TPU pairs it with the
+    # transposed tiered-sampling hybrid (see _scan_fallback). The scatter
+    # engine remains for off-TPU paths (cheaper than CPU FFTs).
+    # Per-step rounded placement stays on the scatter engine when the
+    # hybrid's Pallas sampler is declined (use_pallas=False): phase
+    # accumulation without in-kernel sampling measures slower than the
+    # scatter there.
+    hybrid_ok = on_tpu and use_pallas is not False
+    phase_accum = subpixel or (on_tpu if not per_step else hybrid_ok)
     ph_pair = None
     if phase_accum:
         # Per-position canvas phase ramps exp(-2i pi k off/wc), built in f64
@@ -250,7 +261,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     canvas = _scan_fallback(
         sample_y, params.brightness * eff, gx_mat, keys, ph_pair,
         wc=wc, chunk=chunk, b=b, rescan_factor=float(geom.rescan_factor),
-        phase_accum=phase_accum, use_pallas=use_pallas)
+        phase_accum=phase_accum, use_pallas=use_pallas, tiered=on_tpu)
     if key is not None and noise_mode == "collapsed":
         canvas = maybe_poisson(key, canvas)
     return canvas
@@ -259,9 +270,9 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
 @functools.partial(
     jax.jit,
     static_argnames=("wc", "chunk", "b", "rescan_factor", "phase_accum",
-                     "use_pallas"))
+                     "use_pallas", "tiered"))
 def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
-                   rescan_factor, phase_accum, use_pallas):
+                   rescan_factor, phase_accum, use_pallas, tiered=False):
     """The chunked lax.scan engine (scatter OR rfft phase
     accumulation), as a module-level jitted unit.
 
@@ -270,6 +281,16 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
     intermediate chain (the axon tunnel, see docs/PERFORMANCE.md).
     ``eff_b`` is the brightness-scaled effective profile; ``keys`` is
     [n_chunks] PRNG keys for per-step noise or None.
+
+    Per-step noise on TPU (``tiered=True``) runs the *transposed hybrid*:
+    the x-convolution is computed W-major (``cam_t[c, x, y]``, a batched MXU
+    matmul with natural output layout), so the illumination stripe occupies
+    a few contiguous *rows* of each frame and the per-block tier-dispatched
+    hardware-PRNG sampler (``poisson_rows_tiered``) skips the expensive
+    sampler tiers on the (majority) dark blocks -- the same dark-frame
+    economics as the fused megakernel, but composable with the rfft
+    phase-accumulation placement, so it works for ANY rescan factor
+    (fractional included) and any width.
     """
     h, w = sample_y.shape
     hc = h // b
@@ -277,16 +298,37 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
     n_chunks = w // chunk
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, keys) if per_step else positions
+    hybrid = (per_step and phase_accum and tiered
+              and use_pallas is not False)
+    if hybrid:
+        from rescan_line_sted_tpu.kernels.poisson_pallas import (
+            poisson_rows_tiered,
+        )
+
+        gx_t = gx_mat.T
+        sample_t = sample_y.T                                    # [W, H]
 
     def body(canvas, chunk_in):
         pos, k = chunk_in if per_step else (chunk_in, None)
         ill = shifted_profiles(eff_b, pos)                       # [C, W]
-        emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
-        cam = maybe_poisson(
-            k, jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
-                          preferred_element_type=jnp.float32,
-                          precision=_PRECISION))
-        frames = _rebin(cam, b)                                  # [C, H/b, W/b]
+        if hybrid:
+            emitted_t = ill[:, :, None] * sample_t[None]         # [C, W, H]
+            cam_t = jnp.einsum("xa,cah->cxh", gx_t, emitted_t,
+                               preferred_element_type=jnp.float32,
+                               precision=_PRECISION)             # [C, W, H]
+            # bin the noise-free mean, then draw per-frame shot noise on the
+            # binned frame -- distributionally identical to sampling before
+            # binning (sums of independent Poissons are Poisson), b^2 fewer
+            # draws, and the W-major layout keeps bright blocks contiguous
+            frames_t = poisson_rows_tiered(k, _rebin(cam_t, b))
+            frames = jnp.swapaxes(frames_t, -1, -2)              # [C, H/b, W/b]
+        else:
+            emitted_y = ill[:, None, :] * sample_y[None]         # [C, H, W]
+            cam = maybe_poisson(
+                k, jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
+                              preferred_element_type=jnp.float32,
+                              precision=_PRECISION))
+            frames = _rebin(cam, b)                              # [C, H/b, W/b]
         if phase_accum:
             spec = jnp.fft.rfft(frames, n=wc, axis=-1)           # [C, H/b, K]
             ph_c = jax.lax.complex(ph_pair[0][pos], ph_pair[1][pos])

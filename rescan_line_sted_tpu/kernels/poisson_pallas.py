@@ -215,6 +215,77 @@ def _poisson_flat(seed: jnp.ndarray, lam2d: jnp.ndarray, block_rows: int,
     )(seed, lam2d)
 
 
+def _poisson_rows_kernel(seed_ref, lam_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    store_poisson_tiered(out_ref, slice(None, None), lam_ref[...],
+                         seed_ref[0] + i * pl.num_programs(1) + j)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_rows", "block_cols", "interpret"))
+def _poisson_rows(seed: jnp.ndarray, lam2d: jnp.ndarray, block_rows: int,
+                  block_cols: int, interpret: bool) -> jnp.ndarray:
+    rows, cols = lam2d.shape
+    return pl.pallas_call(
+        _poisson_rows_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(rows // block_rows, cols // block_cols),
+            in_specs=[pl.BlockSpec((block_rows, block_cols),
+                                   lambda i, j, s: (i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((block_rows, block_cols),
+                                   lambda i, j, s: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(seed, lam2d)
+
+
+def poisson_rows_tiered(key: jax.Array, lam: jnp.ndarray,
+                        interpret: bool | None = None,
+                        block_rows: int = 32,
+                        block_cols: int | None = None) -> jnp.ndarray:
+    """Poisson counts with per-block sampler-tier dispatch (TPU).
+
+    Layout-aware fast path for mostly-dark rates: the last two axes are
+    tiled into ``(block_rows, <=512)`` blocks and each block picks its
+    sampler tier from its own max(lambda) at runtime
+    (``store_poisson_tiered``) -- dark blocks cost one hardware-PRNG
+    uniform per pixel instead of the full 44-round Knuth+PTRS draw.
+
+    Callers should arrange ``lam`` so brightness is localized in contiguous
+    *rows* of the trailing 2D planes (e.g. W-major transposed camera frames,
+    where the illumination stripe spans a few rows); with brightness smeared
+    across every block this degrades gracefully to ``poisson_pallas`` speed.
+    Deterministic in ``key``; off TPU falls back to ``jax.random.poisson``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        return jax.random.poisson(key, jnp.maximum(lam, 0.0)).astype(
+            jnp.float32)
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    lam = jnp.asarray(lam, jnp.float32)
+    *lead, r, c = lam.shape
+    lam2d = lam.reshape(-1, c)
+    rows = lam2d.shape[0]
+    rpad = _round_up(rows, block_rows)
+    cpad = _round_up(c, 128)
+    if block_cols is None:
+        block_cols = 512 if cpad % 512 == 0 else (256 if cpad % 256 == 0
+                                                  else 128)
+    else:
+        cpad = _round_up(cpad, block_cols)
+    if (rpad, cpad) != lam2d.shape:
+        lam2d = jnp.zeros((rpad, cpad), jnp.float32).at[:rows, :c].set(lam2d)
+    out = _poisson_rows(seed, lam2d, block_rows, block_cols, False)
+    return out[:rows, :c].reshape(lam.shape)
+
+
 def poisson_pallas(key: jax.Array, lam: jnp.ndarray,
                    interpret: bool | None = None) -> jnp.ndarray:
     """Poisson counts (f32) with the same call shape as jax.random.poisson.

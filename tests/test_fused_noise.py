@@ -74,6 +74,33 @@ def test_fused_per_step_hardware_statistics():
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="in-kernel hardware PRNG needs a real TPU")
+def test_hybrid_fractional_r_per_step_hardware_statistics():
+    """The transposed tiered-sampling hybrid (the per-step engine for
+    FRACTIONAL rescan factors): draw mean matches the noise-free canvas,
+    and the canvas total (photon count, conserved by band-limited
+    placement) has Poisson variance."""
+    size = 256
+    key0 = jax.random.key(11)
+    sample = jax.random.uniform(key0, (size, size), jnp.float32) * 5.0
+    geom = RescanGeometry(Grid(size, size), rescan_factor=1.5, chunk=32)
+    make = lambda s, k: rescanned_line_sted_image(  # noqa: E731
+        s, PARAMS, geom, key=k, method="scan", noise_mode="per_step").image
+    f = jax.jit(make)
+    mean = np.asarray(jax.jit(lambda s: make(s, None))(sample))
+    n = 24
+    draws = np.stack([np.asarray(f(sample, k))
+                      for k in jax.random.split(key0, n)])
+    sel = mean > 20.0
+    rel = np.abs(draws.mean(0)[sel] - mean[sel]).mean() / mean[sel].mean()
+    assert rel < 0.03
+    totals = draws.sum(axis=(1, 2))
+    # total photons are a Poisson sum: var/mean within loose n=24 bounds
+    ratio = totals.var(ddof=1) / mean.sum()
+    assert 0.4 < ratio < 2.5, ratio
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel hardware PRNG needs a real TPU")
 def test_fused_per_step_deterministic_in_key():
     """Same key -> bit-identical noisy image (seed derives from the key)."""
     size = 128

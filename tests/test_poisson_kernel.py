@@ -13,7 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rescan_line_sted_tpu.kernels.poisson_pallas import poisson_pallas
+from rescan_line_sted_tpu.kernels.poisson_pallas import (
+    poisson_pallas,
+    poisson_rows_tiered,
+)
 from rescan_line_sted_tpu.physics.noise import poisson_counts
 
 
@@ -46,6 +49,43 @@ def test_impl_dispatch():
     else:  # on real hardware the forced kernel simply works
         p = poisson_counts(jax.random.key(2), lam, impl="pallas")
         assert p.shape == (64,)
+
+
+def test_rows_tiered_fallback_and_determinism():
+    """Off-TPU the tiered sampler falls back to jax.random.poisson; the
+    wrapper contract (shape, integrality, zero-lambda, determinism) holds
+    everywhere, including odd shapes that exercise row/column padding."""
+    lam = jnp.zeros((3, 37, 190)).at[:, 5:8, :].set(7.0)
+    a = np.asarray(poisson_rows_tiered(jax.random.key(3), lam))
+    b = np.asarray(poisson_rows_tiered(jax.random.key(3), lam))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == lam.shape
+    assert (a == np.round(a)).all() and (a >= 0).all()
+    assert (a[:, :5] == 0).all() and (a[:, 8:] == 0).all()
+    assert abs(a[:, 5:8].mean() - 7.0) < 0.5
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG statistics need a real TPU")
+def test_rows_tiered_hardware_statistics():
+    """Per-block tier dispatch: every tier (dark Bernoulli / dim Knuth /
+    mid Knuth / bright PTRS) produces correct Poisson moments, on a W-major
+    mostly-dark layout like the per-step hybrid feeds it."""
+    rows, cols = 1024, 512
+    lam = np.full((rows, cols), 2e-4, np.float32)   # dark tier
+    lam[100:130, :] = 0.8                            # dim tier block rows
+    lam[300:330, :] = 6.0                            # mid tier
+    lam[600:630, :] = 40.0                           # bright tier
+    x = np.asarray(poisson_rows_tiered(jax.random.key(5), jnp.asarray(lam)))
+    for sel, lv in [(slice(100, 130), 0.8), (slice(300, 330), 6.0),
+                    (slice(600, 630), 40.0)]:
+        m = x[sel].mean()
+        v = x[sel].var()
+        assert abs(m - lv) < 0.05 * max(lv, 1.0), (lv, m)
+        assert abs(v - lv) < 0.08 * max(lv, 1.0), (lv, v)
+    dark = np.concatenate([x[:100].ravel(), x[700:].ravel()])
+    assert abs(dark.mean() - 2e-4) < 5e-5
+    assert dark.max() <= 2.0
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
