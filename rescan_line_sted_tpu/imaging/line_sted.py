@@ -180,19 +180,40 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
 
     # Fallback: chunked lax.scan with explicit camera frames; the circular
     # x-convolution is one MXU matmul per chunk with the circulant of gx.
+    # On TPU (reached when the fused kernel is excluded, e.g. very large
+    # widths whose resident [W, W] circulant exceeds VMEM) the frames are
+    # computed W-major and sampled with the tiered-block hardware-PRNG
+    # sampler, so mostly-dark camera chunks skip the expensive sampler
+    # tiers -- the fused kernel's dark-frame economics at any width.
+    hybrid = on_tpu and use_pallas is not False
+    if hybrid:
+        from rescan_line_sted_tpu.kernels.poisson_pallas import (
+            poisson_rows_tiered,
+        )
+
+        gx_t = gx_mat.T
+        sample_t = sample_y.T                                    # [W, H]
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, jax.random.split(key, n_chunks))
 
     def body(img, chunk_in):
         pos, k = chunk_in
         ill = shifted_profiles(eff, pos)                         # [C, W]
+        slits = shifted_profiles(slit, pos)                      # [C, W]
+        if hybrid:
+            emitted_t = ill[:, :, None] * sample_t[None]         # [C, W, H]
+            cam_t = poisson_rows_tiered(k, params.brightness * jnp.einsum(
+                "xa,cah->cxh", gx_t, emitted_t,
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION))                           # [C, W, H]
+            cols = jnp.einsum("cwh,cw->hc", cam_t, slits)        # [H, C]
+            return img.at[:, pos].set(cols), None
         emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
         cam = maybe_poisson(
             k, params.brightness
             * jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
                          preferred_element_type=jnp.float32,
                          precision=_PRECISION))
-        slits = shifted_profiles(slit, pos)                      # [C, W]
         cols = jnp.einsum("chw,cw->hc", cam, slits)              # [H, C]
         return img.at[:, pos].set(cols), None
 

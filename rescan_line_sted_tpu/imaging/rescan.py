@@ -241,7 +241,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # scatter there.
     hybrid_ok = on_tpu and use_pallas is not False
     phase_accum = subpixel or (on_tpu if not per_step else hybrid_ok)
-    ph_pair = None
+    ph_pair = dft_pair = None
     if phase_accum:
         # Per-position canvas phase ramps exp(-2i pi k off/wc), built in f64
         # on the host (f32 phase arguments lose ~1e-4 at these magnitudes).
@@ -256,10 +256,20 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         ph = np.exp(-2j * np.pi * kk[None, :] * offs[:, None] / wc)
         ph_pair = (jnp.asarray(ph.real.astype(np.float32)),      # [W, K]
                    jnp.asarray(ph.imag.astype(np.float32)))
+        if per_step and hybrid_ok:
+            # Per-step noise places SAMPLED frames: their forward rDFT runs
+            # as a real-DFT MXU matmul instead of the XLA FFT custom call
+            # (which measures ~4x slower when fed from a Pallas output; see
+            # docs/PERFORMANCE.md). Only the first W/b rows of the wc-point
+            # DFT matrix are needed -- the zero padding folds away.
+            xx = np.arange(w // b, dtype=np.float64)
+            ang = -2.0 * np.pi * xx[:, None] * kk[None, :] / wc
+            dft_pair = (jnp.asarray(np.cos(ang).astype(np.float32)),
+                        jnp.asarray(np.sin(ang).astype(np.float32)))
 
     keys = jax.random.split(key, n_chunks) if per_step else None
     canvas = _scan_fallback(
-        sample_y, params.brightness * eff, gx_mat, keys, ph_pair,
+        sample_y, params.brightness * eff, gx_mat, keys, ph_pair, dft_pair,
         wc=wc, chunk=chunk, b=b, rescan_factor=float(geom.rescan_factor),
         phase_accum=phase_accum, use_pallas=use_pallas, tiered=on_tpu)
     if key is not None and noise_mode == "collapsed":
@@ -271,8 +281,9 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     jax.jit,
     static_argnames=("wc", "chunk", "b", "rescan_factor", "phase_accum",
                      "use_pallas", "tiered"))
-def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
-                   rescan_factor, phase_accum, use_pallas, tiered=False):
+def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
+                   wc, chunk, b, rescan_factor, phase_accum, use_pallas,
+                   tiered=False):
     """The chunked lax.scan engine (scatter OR rfft phase
     accumulation), as a module-level jitted unit.
 
@@ -282,15 +293,18 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
     ``eff_b`` is the brightness-scaled effective profile; ``keys`` is
     [n_chunks] PRNG keys for per-step noise or None.
 
-    Per-step noise on TPU (``tiered=True``) runs the *transposed hybrid*:
-    the x-convolution is computed W-major (``cam_t[c, x, y]``, a batched MXU
-    matmul with natural output layout), so the illumination stripe occupies
-    a few contiguous *rows* of each frame and the per-block tier-dispatched
-    hardware-PRNG sampler (``poisson_rows_tiered``) skips the expensive
-    sampler tiers on the (majority) dark blocks -- the same dark-frame
-    economics as the fused megakernel, but composable with the rfft
-    phase-accumulation placement, so it works for ANY rescan factor
-    (fractional included) and any width.
+    Per-step noise on TPU (``tiered=True``, ``dft_pair`` given) runs the
+    *transposed hybrid*: the x-convolution is computed W-major
+    (``cam_t[c, x, y]``, a batched MXU matmul with natural output layout),
+    so the illumination stripe occupies a few contiguous *rows* of each
+    frame and the per-block tier-dispatched hardware-PRNG sampler
+    (``poisson_rows_tiered``) skips the expensive sampler tiers on the
+    (majority) dark blocks -- the same dark-frame economics as the fused
+    megakernel, composable with phase-ramp placement at ANY rescan factor
+    (fractional included) and any width. The sampled frames' forward rDFT
+    runs as a real-DFT MXU matmul (``dft_pair``), which measures ~2x the
+    whole engine vs feeding the XLA FFT custom call from the sampler's
+    output (docs/PERFORMANCE.md).
     """
     h, w = sample_y.shape
     hc = h // b
@@ -299,7 +313,7 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, keys) if per_step else positions
     hybrid = (per_step and phase_accum and tiered
-              and use_pallas is not False)
+              and use_pallas is not False and dft_pair is not None)
     if hybrid:
         from rescan_line_sted_tpu.kernels.poisson_pallas import (
             poisson_rows_tiered,
@@ -321,14 +335,25 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
             # binning (sums of independent Poissons are Poisson), b^2 fewer
             # draws, and the W-major layout keeps bright blocks contiguous
             frames_t = poisson_rows_tiered(k, _rebin(cam_t, b))
-            frames = jnp.swapaxes(frames_t, -1, -2)              # [C, H/b, W/b]
-        else:
-            emitted_y = ill[:, None, :] * sample_y[None]         # [C, H, W]
-            cam = maybe_poisson(
-                k, jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
-                              preferred_element_type=jnp.float32,
-                              precision=_PRECISION))
-            frames = _rebin(cam, b)                              # [C, H/b, W/b]
+            # forward rDFT of each frame as two MXU matmuls (zero padding to
+            # wc folds into keeping only the first W/b DFT-matrix rows)
+            sre = jnp.einsum("cxh,xk->ckh", frames_t, dft_pair[0],
+                             preferred_element_type=jnp.float32,
+                             precision=_PRECISION)
+            sim = jnp.einsum("cxh,xk->ckh", frames_t, dft_pair[1],
+                             preferred_element_type=jnp.float32,
+                             precision=_PRECISION)
+            spec_t = jax.lax.complex(sre, sim)                   # [C, K, H/b]
+            ph_c = jax.lax.complex(ph_pair[0][pos], ph_pair[1][pos])
+            add = jnp.einsum("ckh,ck->kh", spec_t, ph_c,
+                             precision=_PRECISION)
+            return canvas + add, None
+        emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
+        cam = maybe_poisson(
+            k, jnp.einsum("cha,ax->chx", emitted_y, gx_mat,
+                          preferred_element_type=jnp.float32,
+                          precision=_PRECISION))
+        frames = _rebin(cam, b)                                  # [C, H/b, W/b]
         if phase_accum:
             spec = jnp.fft.rfft(frames, n=wc, axis=-1)           # [C, H/b, K]
             ph_c = jax.lax.complex(ph_pair[0][pos], ph_pair[1][pos])
@@ -340,9 +365,16 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, *, wc, chunk, b,
         return rescan_accumulate(canvas, frames, offsets,
                                  use_pallas=use_pallas), None
 
-    init = jnp.zeros((hc, wc // 2 + 1), jnp.complex64) if phase_accum \
-        else jnp.zeros((hc, wc), jnp.float32)
+    kdim = wc // 2 + 1
+    if hybrid:
+        init = jnp.zeros((kdim, hc), jnp.complex64)              # canvas^T spec
+    elif phase_accum:
+        init = jnp.zeros((hc, kdim), jnp.complex64)
+    else:
+        init = jnp.zeros((hc, wc), jnp.float32)
     canvas, _ = jax.lax.scan(body, init, xs)
-    if phase_accum:
+    if hybrid:
+        canvas = jnp.fft.irfft(canvas, n=wc, axis=0).T
+    elif phase_accum:
         canvas = jnp.fft.irfft(canvas, n=wc, axis=-1)
     return canvas
