@@ -144,6 +144,25 @@ def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
     return percall, SCAN_SIZE / dev_dt
 
 
+def bench_fractional_rescan_per_step():
+    """Camera-faithful per-step noise at a FRACTIONAL rescan factor: the
+    transposed tiered-sampling + MXU-DFT hybrid (docs/PERFORMANCE.md),
+    the only engine family that samples every frame at non-integer R."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    geom = RescanGeometry(Grid(SCAN_SIZE, SCAN_SIZE), rescan_factor=1.5,
+                          chunk=32)
+    sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
+    params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+    dev_dt = _amortized_image_s(
+        lambda s, k: rescanned_line_sted_image(
+            s, params, geom, key=k, method="scan",
+            noise_mode="per_step").image,
+        sample, geom.canvas_shape, seed_off=900)
+    return SCAN_SIZE / dev_dt
+
+
 def bench_fractional_rescan_analytic():
     """Closed-form rescanned acquisition at the theory-optimal FRACTIONAL
     rescan factor (subpixel placement, r2 capability): equivalent scan
@@ -318,6 +337,7 @@ def main():
     rescan_sps, rescan_dev = bench_rescan_steps_per_sec()
     _, rescan_dev_ps = bench_rescan_steps_per_sec("per_step")
     frac_dev, r_opt = bench_fractional_rescan_analytic()
+    frac_ps_dev = bench_fractional_rescan_per_step()
     large_fov_dev = bench_large_fov_steps_per_sec(2048)
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
@@ -357,6 +377,8 @@ def main():
                 round(rescan_dev_ps, 1),
             "rescan_analytic_fractional_R_steps_per_sec_device":
                 round(frac_dev, 1),
+            "rescan_per_step_fractional_R_steps_per_sec_device":
+                round(frac_ps_dev, 1),
             "rescan_optimal_fractional_R": r_opt,
             "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
             "line_sted_scan_size": SCAN_SIZE,

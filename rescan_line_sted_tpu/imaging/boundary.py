@@ -10,7 +10,9 @@ and the result equals an open-boundary acquisition.
 from __future__ import annotations
 
 import dataclasses
+import math
 
+import jax
 import jax.numpy as jnp
 
 from rescan_line_sted_tpu.config import Grid
@@ -30,17 +32,14 @@ def default_margin(geom) -> int:
     base = ((max(8, min(h, w) // 8) + b - 1) // b) * b
     if r is None:
         return base
-    # prefer a margin that also makes R*margin integral, so the rescan
-    # canvas crop is exact (otherwise the cropped canvas carries a constant
-    # sub-pixel x shift of frac(R*margin))
+    # prefer a margin that makes R*margin integral, so the rescan canvas
+    # crop needs no band-limited sub-pixel shift (acquire_padded applies
+    # one exactly when it does not -- irrational R included)
     for m in range(base, base + 64):
         if m % b == 0 and round(r * m) % b == 0 \
                 and abs(r * m - round(r * m)) < 1e-6:
             return m
-    m = base
-    while m % b or int(round(r * m)) % b:
-        m += 1
-    return m
+    return base
 
 
 def pad_sample(sample: jnp.ndarray, margin: int) -> jnp.ndarray:
@@ -101,13 +100,31 @@ def acquire_padded(engine_fn, sample: jnp.ndarray, geom, margin: int,
     if hasattr(geom, "rescan_factor"):
         r = geom.rescan_factor
         b = geom.binning
-        if margin % b or int(round(r * margin)) % b:
+        if margin % b:
             raise ValueError(
-                f"margin={margin} must align with binning={b}: both margin "
-                f"and round(rescan_factor*margin)={int(round(r * margin))} "
-                "must be divisible by binning, or the binned crop shifts off "
-                "the original field")
-        x0 = int(round(r * margin)) // b
+                f"margin={margin} must be divisible by binning={b}, or the "
+                "binned row crop shifts off the original field")
+        # canvas x of the field's left edge; geometry fields are static
+        # Python scalars, so this stays host math (jnp here would produce a
+        # tracer under jit and break the static crop index)
+        x0f = float(r) * margin / b
+        x0 = math.floor(x0f + 1e-9)
+        frac = x0f - x0
+        if frac > 1e-9:
+            # Irrational (or just non-integral) R*margin: the original
+            # field's canvas starts between binned canvas pixels. Shift the
+            # padded canvas by the fractional offset band-limitedly (an rfft
+            # phase ramp -- the same subpixel machinery the rescan engine
+            # places frames with) so the crop lands exactly on the field.
+            import numpy as np
+            n = img.shape[-1]
+            kk = np.arange(n // 2 + 1, dtype=np.float64)
+            ph = np.exp(2j * np.pi * kk * frac / n)
+            ph_j = jax.lax.complex(
+                jnp.asarray(ph.real.astype(np.float32)),
+                jnp.asarray(ph.imag.astype(np.float32)))
+            img = jnp.fft.irfft(jnp.fft.rfft(img, axis=-1) * ph_j,
+                                n=n, axis=-1)
         wc = int(round(r * w)) // b
         img = img[margin // b: margin // b + h // b, x0: x0 + wc]
     else:

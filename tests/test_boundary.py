@@ -76,6 +76,38 @@ def test_acquire_padded_rejects_binning_misaligned_margin():
             sample, geom, margin=15)
 
 
+def test_padded_rescan_fractional_margin_subpixel_crop():
+    """Irrational/non-integral R*margin: acquire_padded shifts the canvas
+    band-limitedly before cropping, so any margin (divisible by binning)
+    lands exactly on the original field (ROADMAP r2 item 6)."""
+    from rescan_line_sted_tpu.config import RescanParams
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    shape = (32, 32)
+    sample = jnp.zeros(shape).at[14:18, 14:18].set(1.0)  # interior content
+    r = 1.625  # 13/8: margin=16 -> R*m=26 integral; margin=10 -> 16.25
+    params = RescanParams.create(sigma_exc=2.0, sigma_det=2.0,
+                                 stripe_period=8.0, depletion=4.0,
+                                 brightness=10.0)
+    geom = RescanGeometry(Grid(*shape), rescan_factor=r, chunk=16)
+    eng = lambda s, g, **kw: rescanned_line_sted_image(  # noqa: E731
+        s, params, g, **kw)
+    exact = np.asarray(acquire_padded(eng, sample, geom, margin=16).image)
+    frac = np.asarray(acquire_padded(eng, sample, geom, margin=10).image)
+    assert exact.shape == frac.shape == geom.canvas_shape
+    # same field, same placement: agree wherever there is signal
+    sel = exact > exact.max() * 1e-3
+    rel = np.abs(exact - frac)[sel].max() / exact.max()
+    assert rel < 2e-3, rel
+    assert np.unravel_index(exact.argmax(), exact.shape) == \
+        np.unravel_index(frac.argmax(), frac.shape)
+    # the crop indices are static host math: the same call must trace
+    import jax
+    under_jit = np.asarray(jax.jit(
+        lambda s: acquire_padded(eng, s, geom, margin=10).image)(sample))
+    np.testing.assert_allclose(under_jit, frac, atol=1e-5 * exact.max())
+
+
 def test_engine_boundary_option():
     """boundary="padded" on the engine API equals acquire_padded directly,
     and kills the circular wrap (VERDICT r1 item 7 / ROADMAP 3)."""
