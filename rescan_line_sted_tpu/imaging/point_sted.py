@@ -131,6 +131,16 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
     steps = jnp.arange(num_steps).reshape(n_chunks, chunk)
     xs = (steps, jax.random.split(key, n_chunks))
 
+    # Point frames are bright only around the 2D illumination spot, i.e.
+    # already row-localized in the natural layout -- the tiered-block
+    # hardware-PRNG sampler skips the expensive tiers on the (majority)
+    # dark rows with no transpose needed (docs/PERFORMANCE.md).
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from rescan_line_sted_tpu.kernels.poisson_pallas import (
+            poisson_rows_tiered,
+        )
+
     def body(img, chunk_in):
         pos_flat, k = chunk_in
         pos = jnp.stack([pos_flat // w, pos_flat % w], axis=-1)  # [C, 2] (y, x)
@@ -138,7 +148,9 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         blurred = fftconv.convolve_otf1d(
             fftconv.convolve_otf1d(ill * sample, otf_x, axis=-1, n=w),
             otf_y, axis=-2, n=h)
-        cam = maybe_poisson(k, params.brightness * blurred)
+        mean = params.brightness * blurred
+        cam = poisson_rows_tiered(k, mean) if on_tpu \
+            else maybe_poisson(k, mean)
         pinholes = shifted_images(pin, pos)                      # [C, H, W]
         vals = jnp.einsum("chw,chw->c", cam, pinholes)
         return img.at[pos[:, 0], pos[:, 1]].set(vals), None

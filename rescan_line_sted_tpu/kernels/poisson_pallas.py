@@ -215,20 +215,32 @@ def _poisson_flat(seed: jnp.ndarray, lam2d: jnp.ndarray, block_rows: int,
     )(seed, lam2d)
 
 
-def _poisson_rows_kernel(seed_ref, lam_ref, out_ref):
+def _poisson_rows_kernel(seed_ref, lam_ref, out_ref, *, cr: int):
+    """Tier-dispatch ``cr``-row sub-chunks of one (block_rows, block_cols)
+    block: big blocks amortize the per-grid-step overhead, the fine
+    sub-chunk granularity keeps the dark-tier skipping effective. Slicing
+    the ref per sub-chunk (rather than reading the whole block as one SSA
+    value) bounds the sampler temporaries' liveness on the Mosaic kernel
+    stack (docs/PERFORMANCE.md)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    store_poisson_tiered(out_ref, slice(None, None), lam_ref[...],
-                         seed_ref[0] + i * pl.num_programs(1) + j)
+    n_sub = lam_ref.shape[0] // cr
+    base = (i * pl.num_programs(1) + j) * n_sub
+    for k2 in range(n_sub):
+        rows = slice(k2 * cr, (k2 + 1) * cr)
+        store_poisson_tiered(out_ref, rows, lam_ref[rows, :],
+                             seed_ref[0] + base + k2)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_rows", "block_cols", "interpret"))
+                   static_argnames=("block_rows", "block_cols", "sub_rows",
+                                    "interpret"))
 def _poisson_rows(seed: jnp.ndarray, lam2d: jnp.ndarray, block_rows: int,
-                  block_cols: int, interpret: bool) -> jnp.ndarray:
+                  block_cols: int, sub_rows: int,
+                  interpret: bool) -> jnp.ndarray:
     rows, cols = lam2d.shape
     return pl.pallas_call(
-        _poisson_rows_kernel,
+        functools.partial(_poisson_rows_kernel, cr=sub_rows),
         out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -247,20 +259,25 @@ def _poisson_rows(seed: jnp.ndarray, lam2d: jnp.ndarray, block_rows: int,
 def poisson_rows_tiered(key: jax.Array, lam: jnp.ndarray,
                         interpret: bool | None = None,
                         block_rows: int = 32,
-                        block_cols: int | None = None) -> jnp.ndarray:
-    """Poisson counts with per-block sampler-tier dispatch (TPU).
+                        block_cols: int | None = None,
+                        sub_rows: int = 32) -> jnp.ndarray:
+    """Poisson counts with sampler-tier dispatch per ``sub_rows``-row
+    sub-chunk (TPU).
 
     Layout-aware fast path for mostly-dark rates: the last two axes are
-    tiled into ``(block_rows, <=512)`` blocks and each block picks its
-    sampler tier from its own max(lambda) at runtime
-    (``store_poisson_tiered``) -- dark blocks cost one hardware-PRNG
-    uniform per pixel instead of the full 44-round Knuth+PTRS draw.
+    tiled into ``(block_rows, <=512)`` DMA blocks; inside each block every
+    ``(sub_rows, block_cols)`` sub-chunk picks its sampler tier from its
+    own max(lambda) at runtime (``store_poisson_tiered``) -- dark
+    sub-chunks cost one hardware-PRNG uniform per pixel instead of the
+    full 44-round Knuth+PTRS draw, while the large blocks amortize the
+    per-grid-step overhead.
 
     Callers should arrange ``lam`` so brightness is localized in contiguous
     *rows* of the trailing 2D planes (e.g. W-major transposed camera frames,
     where the illumination stripe spans a few rows); with brightness smeared
-    across every block this degrades gracefully to ``poisson_pallas`` speed.
-    Deterministic in ``key``; off TPU falls back to ``jax.random.poisson``.
+    across every sub-chunk this degrades gracefully to ``poisson_pallas``
+    speed. Deterministic in (``key``, shape, blocking); off TPU falls back
+    to ``jax.random.poisson``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -273,6 +290,8 @@ def poisson_rows_tiered(key: jax.Array, lam: jnp.ndarray,
     *lead, r, c = lam.shape
     lam2d = lam.reshape(-1, c)
     rows = lam2d.shape[0]
+    block_rows = min(block_rows, _round_up(rows, sub_rows))
+    block_rows = _round_up(block_rows, sub_rows)
     rpad = _round_up(rows, block_rows)
     cpad = _round_up(c, 128)
     if block_cols is None:
@@ -282,7 +301,7 @@ def poisson_rows_tiered(key: jax.Array, lam: jnp.ndarray,
         cpad = _round_up(cpad, block_cols)
     if (rpad, cpad) != lam2d.shape:
         lam2d = jnp.zeros((rpad, cpad), jnp.float32).at[:rows, :c].set(lam2d)
-    out = _poisson_rows(seed, lam2d, block_rows, block_cols, False)
+    out = _poisson_rows(seed, lam2d, block_rows, block_cols, sub_rows, False)
     return out[:rows, :c].reshape(lam.shape)
 
 

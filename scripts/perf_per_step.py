@@ -99,7 +99,10 @@ def main():
                       s, params, lg, key=k, method="scan",
                       noise_mode="per_step", use_pallas=False).image, 70))
 
+    pat = os.environ.get("CASES", "")
     for name, shape, fn, off in cases:
+        if pat and pat.lower() not in name.lower():
+            continue
         try:
             dt, cs = amortized(fn, sample, shape, seed_off=off)
             print(f"{name:58s} {SIZE / dt:10.1f} steps/s "
