@@ -155,17 +155,25 @@ def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
     line covers a few percent of the field), so a full Knuth+PTRS draw on
     every pixel wastes ~90% of the VPU work. Tiers:
 
+    * max <= 0:   exact zeros, no PRNG at all (Poisson(0) = 0; beyond the
+      illumination envelope the f32 rates are exactly zero, which is the
+      MAJORITY of a scanning-microscope frame);
     * max < 1e-3: one-uniform Bernoulli (P(N >= 2) <= 5e-7 per pixel);
     * max < 1.5:  Knuth, 10 rounds (truncation < 2e-6);
     * max < 10:   Knuth, 24 rounds (truncation < 5e-5, as sample_poisson);
     * else:       full Knuth+PTRS (exact branch selection per pixel).
 
     Each tier seeds the hardware PRNG itself with ``seed``, so the result is
-    deterministic in (seed, chunk) regardless of which tier runs.
+    deterministic in (seed, chunk) regardless of which tier runs (the zero
+    tier's output is 0 either way -- bit-identical to running Bernoulli).
     """
     mx = jnp.max(lam)
 
-    @pl.when(mx < 1e-3)
+    @pl.when(mx <= 0.0)
+    def _zero():
+        out_ref[rows, :] = jnp.zeros(lam.shape, jnp.float32)
+
+    @pl.when((mx > 0.0) & (mx < 1e-3))
     def _dark():
         pltpu.prng_seed(seed)
         out_ref[rows, :] = (_uniform(lam.shape) < lam).astype(jnp.float32)
