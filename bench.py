@@ -329,6 +329,14 @@ def bench_oracle_line_step_at(n: int, steps: int = 16) -> float:
 def main():
     assert jax.devices(), "no devices"
     backend = jax.default_backend()
+    # Persistent compilation cache (measured 119.6 s -> 1.7 s for the
+    # per-step scan program in a fresh process): compile_s below reflects a
+    # warm cache once .jax_cache is populated by an earlier run.
+    from rescan_line_sted_tpu.utils.observability import (
+        enable_compilation_cache,
+    )
+
+    cache_dir = enable_compilation_cache()
 
     steps_per_sec, steps_dev, scan_compile_s, scan_dt = \
         bench_scan_steps_per_sec("collapsed")
@@ -384,7 +392,8 @@ def main():
             "line_sted_scan_size": SCAN_SIZE,
             "scan_wall_s_per_image": round(scan_dt, 4),
             "compile_s": {"scan": round(scan_compile_s, 1),
-                          "sweep": round(sweep_compile_s, 1)},
+                          "sweep": round(sweep_compile_s, 1),
+                          "persistent_cache": bool(cache_dir)},
             "north_star_target_x": 100.0,
         },
     }))

