@@ -25,6 +25,7 @@ from rescan_line_sted_tpu.config import (  # noqa: F401
     PointSTEDGeometry,
     LineSTEDGeometry,
     RescanGeometry,
+    RescanPointGeometry,
     PointSTEDParams,
     LineSTEDParams,
     RescanParams,

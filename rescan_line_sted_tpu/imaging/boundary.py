@@ -104,29 +104,42 @@ def acquire_padded(engine_fn, sample: jnp.ndarray, geom, margin: int,
             raise ValueError(
                 f"margin={margin} must be divisible by binning={b}, or the "
                 "binned row crop shifts off the original field")
-        # canvas x of the field's left edge; geometry fields are static
-        # Python scalars, so this stays host math (jnp here would produce a
-        # tracer under jit and break the static crop index)
-        x0f = float(r) * margin / b
-        x0 = math.floor(x0f + 1e-9)
-        frac = x0f - x0
-        if frac > 1e-9:
-            # Irrational (or just non-integral) R*margin: the original
-            # field's canvas starts between binned canvas pixels. Shift the
-            # padded canvas by the fractional offset band-limitedly (an rfft
-            # phase ramp -- the same subpixel machinery the rescan engine
-            # places frames with) so the crop lands exactly on the field.
-            import numpy as np
-            n = img.shape[-1]
-            kk = np.arange(n // 2 + 1, dtype=np.float64)
-            ph = np.exp(2j * np.pi * kk * frac / n)
-            ph_j = jax.lax.complex(
-                jnp.asarray(ph.real.astype(np.float32)),
-                jnp.asarray(ph.imag.astype(np.float32)))
-            img = jnp.fft.irfft(jnp.fft.rfft(img, axis=-1) * ph_j,
-                                n=n, axis=-1)
-        wc = int(round(r * w)) // b
-        img = img[margin // b: margin // b + h // b, x0: x0 + wc]
+        def crop_scaled(img, axis, n_out):
+            """Crop a rescanned axis at canvas coordinate R*margin/b.
+
+            Irrational (or just non-integral) R*margin: the original
+            field's canvas edge falls between binned canvas pixels; shift
+            the padded canvas by the fractional offset band-limitedly (an
+            rfft phase ramp -- the same subpixel machinery the rescan
+            engine places frames with) so the static crop lands exactly.
+            Geometry fields are static Python scalars, so the crop index is
+            host math (jnp here would trace under jit and break the slice).
+            """
+            x0f = float(r) * margin / b
+            x0 = math.floor(x0f + 1e-9)
+            frac = x0f - x0
+            if frac > 1e-9:
+                import numpy as np
+                n = img.shape[axis]
+                kk = np.arange(n // 2 + 1, dtype=np.float64)
+                ph = np.exp(2j * np.pi * kk * frac / n)
+                shp = [1, 1]
+                shp[axis] = n // 2 + 1
+                ph_j = jax.lax.complex(
+                    jnp.asarray(ph.real.astype(np.float32)).reshape(shp),
+                    jnp.asarray(ph.imag.astype(np.float32)).reshape(shp))
+                img = jnp.fft.irfft(jnp.fft.rfft(img, axis=axis) * ph_j,
+                                    n=n, axis=axis)
+            return jax.lax.slice_in_dim(img, x0, x0 + n_out, axis=axis)
+
+        # x is always rescanned; y too under 2D (point) pixel reassignment
+        from rescan_line_sted_tpu.config import RescanPointGeometry
+
+        img = crop_scaled(img, 1, int(round(r * w)) // b)
+        if isinstance(geom, RescanPointGeometry):
+            img = crop_scaled(img, 0, int(round(r * h)) // b)
+        else:
+            img = img[margin // b: margin // b + h // b]
     else:
         img = img[margin: margin + h, margin: margin + w]
     return res.replace(image=img)

@@ -30,6 +30,7 @@ from rescan_line_sted_tpu.config import (
     PointSTEDGeometry,
     PointSTEDParams,
     RescanGeometry,
+    RescanPointGeometry,
 )
 from rescan_line_sted_tpu.physics import psf as psfs
 
@@ -56,7 +57,10 @@ class DoseReport:
         return self.emission_per_unit_sample / self.total_dose
 
 
-def point_sted_dose(params: PointSTEDParams, geom: PointSTEDGeometry) -> DoseReport:
+def point_sted_dose(
+    params: PointSTEDParams,
+    geom: "PointSTEDGeometry | RescanPointGeometry",
+) -> DoseReport:
     shape = geom.grid.shape
     exc = psfs.gaussian_psf(shape, params.sigma_exc)
     dep = psfs.donut_psf(shape, params.sigma_dep)

@@ -178,6 +178,53 @@ def rescanned_line_sted_image(sample, *, sigma_exc, sigma_det, stripe_period,
     return canvas
 
 
+def rescanned_point_sted_image(sample, *, sigma_exc, sigma_det, sigma_dep,
+                               depletion, brightness, rescan_factor=2.0,
+                               binning=1, rng=None,
+                               reassignment="rounded") -> np.ndarray:
+    """Rescanned point-STED (2D pixel reassignment, ISM-style): the
+    re-binned camera frame of every scan position (y0, x0) is scatter-added
+    into the canvas at R*(y0, x0).
+
+    ``reassignment`` as in ``rescanned_line_sted_image``, applied per axis
+    (subpixel = 2D Fourier phase-ramp placement on the canvas ring).
+    """
+    sample = np.asarray(sample, np.float64)
+    h, w = sample.shape
+    b = binning
+    hc = int(round(rescan_factor * h)) // b
+    wc = int(round(rescan_factor * w)) // b
+    exc = gaussian_psf(sample.shape, sigma_exc)
+    dep = donut_psf(sample.shape, sigma_dep)
+    eff = effective_psf(exc, dep, depletion)
+    det = detection_psf(sample.shape, sigma_det)
+    canvas = np.zeros((hc, wc))
+    ky = np.arange(hc)[:, None]
+    kx = np.arange(wc // 2 + 1)[None, :]
+    for y0 in range(h):
+        for x0 in range(w):
+            ill = shift_to(eff, y0, x0)
+            cam = brightness * fft_convolve(sample * ill, det)
+            if rng is not None:
+                cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
+            frame = cam.reshape(h // b, b, w // b, b).sum(axis=(1, 3))
+            if reassignment == "rounded":
+                oy = int(round((rescan_factor - 1.0) * y0 / b))
+                ox = int(round((rescan_factor - 1.0) * x0 / b))
+                rows = (oy + np.arange(h // b)) % hc
+                cols = (ox + np.arange(w // b)) % wc
+                canvas[np.ix_(rows, cols)] += frame
+            elif reassignment == "subpixel":
+                oy = (rescan_factor - 1.0) * y0 / b
+                ox = (rescan_factor - 1.0) * x0 / b
+                spec = np.fft.rfft2(frame, s=(hc, wc))
+                spec *= np.exp(-2j * np.pi * (ky * oy / hc + kx * ox / wc))
+                canvas += np.fft.irfft2(spec, s=(hc, wc))
+            else:
+                raise ValueError(f"unknown reassignment {reassignment!r}")
+    return canvas
+
+
 # -------------------------------------------------------- deconvolution ----
 
 def richardson_lucy(data_views, psf_views, num_iter: int,
