@@ -197,6 +197,24 @@ def bench_large_fov_steps_per_sec(size: int = 2048):
     return size / dev_dt
 
 
+def bench_ism_analytic():
+    """Rescanned point-STED (2D pixel reassignment / ISM, beyond-reference):
+    closed-form acquisition incl. the Poisson draw, as equivalent point-scan
+    steps/s (one acquisition = size^2 scan positions)."""
+    from rescan_line_sted_tpu.config import RescanPointGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_point_sted_image
+
+    size = 256
+    geom = RescanPointGeometry(Grid(size, size), rescan_factor=2.0)
+    sample = samples.siemens_star((size, size))
+    params = PointSTEDParams.create(depletion=8.0, **POINT_KW)
+    dev_dt = _amortized_image_s(
+        lambda s, k: rescanned_point_sted_image(s, params, geom,
+                                                key=k).image,
+        sample, geom.canvas_shape, seed_off=950)
+    return size * size / dev_dt
+
+
 def bench_tpu_sweep():
     grid = Grid(SWEEP_SIZE, SWEEP_SIZE)
     pgeom, lgeom = PointSTEDGeometry(grid), LineSTEDGeometry(grid)
@@ -346,6 +364,7 @@ def main():
     _, rescan_dev_ps = bench_rescan_steps_per_sec("per_step")
     frac_dev, r_opt = bench_fractional_rescan_analytic()
     frac_ps_dev = bench_fractional_rescan_per_step()
+    ism_dev = bench_ism_analytic()
     large_fov_dev = bench_large_fov_steps_per_sec(2048)
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
@@ -387,6 +406,8 @@ def main():
                 round(frac_dev, 1),
             "rescan_per_step_fractional_R_steps_per_sec_device":
                 round(frac_ps_dev, 1),
+            "ism_rescan_point_equiv_steps_per_sec_device":
+                round(ism_dev, 1),
             "rescan_optimal_fractional_R": r_opt,
             "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
             "line_sted_scan_size": SCAN_SIZE,

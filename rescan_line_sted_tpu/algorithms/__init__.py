@@ -15,6 +15,7 @@ from rescan_line_sted_tpu.algorithms.fusion import (  # noqa: F401
     rescan_operator,
     multi_orientation_rescan,
     rescan_fusion,
+    ism_deconvolve,
 )
 from rescan_line_sted_tpu.algorithms.calibration import (  # noqa: F401
     fit_line_sted_params,

@@ -130,3 +130,42 @@ def rescan_fusion(
                         / (geom.binning ** 2
                            * jnp.maximum(params.brightness, 1e-30)))
     return richardson_lucy_operator(data, ops, num_iter, init)
+
+
+def ism_deconvolve(
+    canvas: jnp.ndarray,
+    params,
+    geom,
+    num_iter: int = 30,
+    accelerate: bool = False,
+) -> jnp.ndarray:
+    """Deconvolve a rescanned point-STED (ISM) canvas with its system kernel.
+
+    The classic ISM post-processing step: the canvas is exactly
+    ``conv(place_2d(sample, R), H)`` with the NONNEGATIVE reassigned kernel
+    ``H = rescan_point_system_kernel`` (every term ``eff(t) det(v+(R-1)t)``
+    is nonnegative), so standard canvas-grid RL applies and is stable.
+    Returns the deconvolved CANVAS-grid estimate (the R-magnified,
+    resolution-enhanced image; for integer R its exact target is the
+    zero-inserted upsampled sample). Operator-form RL straight to the
+    sample grid was tried and REJECTED: the band-limited place operator
+    rings negative, which destabilizes the multiplicative update
+    (docs/PERFORMANCE.md has the matching kernel-composition lesson).
+
+    ``params``: PointSTEDParams; ``geom``: RescanPointGeometry (binning=1).
+    """
+    from rescan_line_sted_tpu.algorithms.richardson_lucy import (
+        richardson_lucy_views,
+    )
+    from rescan_line_sted_tpu.imaging.rescan_point import (
+        rescan_point_system_kernel,
+    )
+
+    kern = rescan_point_system_kernel(geom, params)
+    # sum-normalize the kernel: RL's multiplicative update is stationary at
+    # a sum(psf)-scaled estimate, so deconvolve with H/S and undo the S
+    # afterwards to keep absolute intensities
+    s = jnp.maximum(jnp.sum(kern), 1e-30)
+    est = richardson_lucy_views(canvas[None], (kern / s)[None], num_iter,
+                                accelerate=accelerate)
+    return est / s

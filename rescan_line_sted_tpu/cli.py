@@ -24,6 +24,7 @@ def _figure(args) -> None:
         fusion_pipeline,
         fov_pipeline,
         html_report,
+        ism_pipeline,
         line_scan_animation,
         rescan_pipeline,
     )
@@ -42,6 +43,9 @@ def _figure(args) -> None:
             depletion=args.depletion, rl_iters=args.rl_iters,
             seed=args.seed, modality=args.modality),
         "rescan": lambda: rescan_pipeline(
+            args.out, size=args.size, depletion=args.depletion,
+            seed=args.seed),
+        "ism": lambda: ism_pipeline(
             args.out, size=args.size, depletion=args.depletion,
             seed=args.seed),
         "fov": lambda: fov_pipeline(
@@ -104,7 +108,7 @@ def main(argv=None) -> None:
 
     fig = sub.add_parser("figure", help="run a figure-equivalent pipeline")
     fig.add_argument("which", choices=["comparison", "sweep", "fusion",
-                                       "rescan", "fov", "animation",
+                                       "rescan", "ism", "fov", "animation",
                                        "report", "all"])
     fig.add_argument("--out", default="out")
     fig.add_argument("--size", type=int, default=256)

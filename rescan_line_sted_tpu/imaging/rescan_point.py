@@ -169,6 +169,19 @@ def _phase_tables(h: int, w: int, hc: int, wc: int, r: float):
 
 
 def _analytic(sample, params, geom, key):
+    return maybe_poisson(key, rescan_point_canvas_mean(sample, params, geom))
+
+
+def rescan_point_canvas_mean(
+    sample: jnp.ndarray,
+    params: PointSTEDParams,
+    geom: RescanPointGeometry,
+) -> jnp.ndarray:
+    """Noise-free rescanned point-STED canvas: the closed form of the module
+    doc (``canvas_hat = B * D_hat * E * S_R``), exact for ANY rescan factor
+    (binning = 1). Linear in ``sample`` -- also the forward operator for
+    operator-form deconvolution (``algorithms/fusion.py:ism_deconvolve``).
+    """
     if geom.binning != 1:
         raise ValueError(
             "the closed-form rescanned point-STED engine supports "
@@ -190,7 +203,7 @@ def _analytic(sample, params, geom, key):
     s_hat = jnp.einsum("kx,xq->kq", s1, px, precision=_PRECISION)
 
     canvas = jnp.fft.irfft2(s_hat * e_hat * d_hat, s=(hc, wc))
-    return maybe_poisson(key, params.brightness * canvas)
+    return params.brightness * canvas
 
 
 def rescan_point_system_kernel(

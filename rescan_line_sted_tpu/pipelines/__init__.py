@@ -3,6 +3,7 @@ from rescan_line_sted_tpu.pipelines.figures import (  # noqa: F401
     dose_sweep_pipeline,
     fusion_pipeline,
     fov_pipeline,
+    ism_pipeline,
     rescan_pipeline,
 )
 from rescan_line_sted_tpu.pipelines.animation import (  # noqa: F401

@@ -16,6 +16,8 @@ Pipelines:
   isotropic fusion (call stack 4.5).
 * ``rescan_pipeline``      -- rescanned line-STED canvas formation and
   descan-vs-rescan comparison (call stack 4.3).
+* ``ism_pipeline``         -- rescanned POINT-STED (2D pixel reassignment /
+  ISM; beyond-reference modality, ``imaging/rescan_point.py``).
 """
 
 from __future__ import annotations
@@ -367,6 +369,60 @@ def fov_pipeline(out_dir: str, sizes: tuple[int, ...] = (128, 256, 512),
     except ImportError:  # pragma: no cover
         pass
     metrics = {"pipeline": "fov", "records": records}
+    emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
+    return metrics
+
+
+def ism_pipeline(out_dir: str, size: int = 256, depletion: float = 8.0,
+                 rescan_factor: float = 2.0, seed: int = 0) -> dict:
+    """Rescanned POINT-STED (2D pixel reassignment / ISM; beyond-reference).
+
+    Panels: descanned point-STED vs the ISM canvas at s=0 (classic rescan
+    confocal, sqrt(2) gain) and at the requested depletion (rescan STED).
+    """
+    from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
+    from rescan_line_sted_tpu.config import PointSTEDParams, RescanPointGeometry
+    from rescan_line_sted_tpu.imaging import (
+        point_sted_image,
+        rescan_point_system_kernel,
+        rescanned_point_sted_image,
+    )
+
+    grid = Grid(size, size)
+    sample = _default_sample(size)
+    pgeom = PointSTEDGeometry(grid)
+    rgeom = RescanPointGeometry(grid, rescan_factor=rescan_factor)
+    conf = PointSTEDParams.create(depletion=0.0, brightness=200.0)
+    sted = PointSTEDParams.create(depletion=depletion, brightness=200.0)
+    key = jax.random.key(seed)
+
+    @jax.jit
+    def run(key):
+        ks = jax.random.split(key, 3)
+        descan = point_sted_image(sample, sted, pgeom, key=ks[0]).image
+        ism = rescanned_point_sted_image(sample, conf, rgeom, key=ks[1]).image
+        ism_sted = rescanned_point_sted_image(sample, sted, rgeom,
+                                              key=ks[2]).image
+        kern_c = rescan_point_system_kernel(rgeom, conf)
+        kern_s = rescan_point_system_kernel(rgeom, sted)
+        hc = kern_c.shape[0] // 2
+        return descan, ism, ism_sted, (fwhm_1d(kern_c[hc]) / rescan_factor,
+                                       fwhm_1d(kern_s[hc]) / rescan_factor)
+
+    descan, ism, ism_sted, (fwhm_c, fwhm_s) = run(key)
+    _save_panels(out_dir, "ism", {
+        "sample": sample,
+        "point_sted_descanned": descan,
+        "ism_canvas_confocal": ism,
+        "ism_canvas_sted": ism_sted,
+    })
+    metrics = {
+        "pipeline": "ism",
+        "canvas_shape": list(ism.shape),
+        "rescan_factor": rescan_factor,
+        "ism_confocal_fwhm_sample_px": float(fwhm_c),
+        "ism_sted_fwhm_sample_px": float(fwhm_s),
+    }
     emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
     return metrics
 

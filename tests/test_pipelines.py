@@ -51,6 +51,17 @@ def test_rescan_pipeline(tmp_path):
     assert m["canvas_shape"] == [48, 96]
 
 
+def test_ism_pipeline(tmp_path):
+    from rescan_line_sted_tpu.pipelines import ism_pipeline
+
+    m = ism_pipeline(str(tmp_path), size=48, depletion=4.0)
+    canvas = tif_to_array(str(tmp_path / "ism_ism_canvas_sted.tif"))
+    assert canvas.shape == (96, 96)
+    assert m["canvas_shape"] == [96, 96]
+    # depletion sharpens the reassigned kernel
+    assert m["ism_sted_fwhm_sample_px"] < m["ism_confocal_fwhm_sample_px"]
+
+
 def test_cli_figure_and_psf_report(tmp_path, capsys):
     cli_main(["figure", "comparison", "--out", str(tmp_path / "f"),
               "--size", "48", "--dose-budget", "50"])
