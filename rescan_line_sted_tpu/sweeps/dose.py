@@ -55,6 +55,7 @@ class DoseMatchedComparison:
     point: ModalitySweep
     line: ModalitySweep            # descanned line-STED
     rescan: ModalitySweep | None = None  # rescanned line-STED (optional arm)
+    ism: ModalitySweep | None = None     # rescanned point-STED (optional arm)
 
 
 def dose_matched_sweep(
@@ -70,6 +71,7 @@ def dose_matched_sweep(
     rescan_geom=None,
     fuse_orientations: bool = False,
     fusion_iters: int = 30,
+    ism_geom=None,
 ) -> DoseMatchedComparison:
     """Run the full dose-matched comparison as one vmapped program.
 
@@ -77,7 +79,13 @@ def dose_matched_sweep(
     axis for multi-chip). ``key=None`` gives noise-free expected images.
     Passing a ``RescanGeometry`` adds a third arm -- rescanned line-STED at
     the same illumination/dose as the descanned line (only detection
-    differs), the paper's headline modality.
+    differs), the paper's headline modality. Passing a
+    ``RescanPointGeometry`` (``ism_geom``, binning=1) adds a fourth,
+    beyond-reference arm: rescanned POINT-STED (2D pixel reassignment /
+    ISM) at the point arm's illumination and dose -- only detection
+    differs, so the comparison isolates what pixel reassignment buys a
+    point scanner. Its images live on the R-magnified canvas grid;
+    resolution columns are reported in sample pixels (canvas FWHM / R).
 
     ``fuse_orientations=True`` runs the paper's actual protocol (call stack
     4.4/4.5): the line arm acquires ``orientations`` rotated views at the
@@ -117,7 +125,7 @@ def dose_matched_sweep(
             psf = richardson_lucy_views(views, kernels, num_iter=fusion_iters)
             return fwhm_2d(psf)
 
-    def one(s, kp, kl, kr):
+    def one(s, kp, kl, kr, ki):
         pp = point_base.replace(depletion=s)
         lp = line_base.replace(depletion=s)
         pdose = point_sted_dose(pp, point_geom)
@@ -161,8 +169,43 @@ def dose_matched_sweep(
             exposure=exp_l,
             num_steps=ldose.num_steps * orientations,
         )
+        ism_res = None
+        if ism_geom is not None:
+            # beyond-reference arm: 2D pixel reassignment at the POINT
+            # arm's illumination and dose (only detection differs)
+            from rescan_line_sted_tpu.algorithms.fusion import ism_deconvolve
+            from rescan_line_sted_tpu.imaging.rescan_point import (
+                rescan_point_canvas_mean,
+                rescan_point_system_kernel,
+            )
+            from rescan_line_sted_tpu.physics.noise import maybe_poisson
+
+            r_ism = ism_geom.rescan_factor
+            iimg = maybe_poisson(
+                ki, rescan_point_canvas_mean(sample, pp_run, ism_geom))
+            if fuse_orientations:
+                # apples-to-apples with the fused arms: deconvolve with the
+                # same iteration count (ISM is isotropic -- one view)
+                iimg = ism_deconvolve(iimg, pp_run, ism_geom,
+                                      num_iter=fusion_iters)
+                delta = jnp.zeros(shape, jnp.float32).at[
+                    shape[0] // 2, shape[1] // 2].set(1.0)
+                ipsf = ism_deconvolve(
+                    rescan_point_canvas_mean(delta, pp, ism_geom), pp,
+                    ism_geom, num_iter=fusion_iters)
+                i_fy, i_fx = fwhm_2d(ipsf)
+            else:
+                i_fy, i_fx = fwhm_2d(
+                    rescan_point_system_kernel(ism_geom, pp))
+            ism_res = ModalitySweep(
+                image=iimg,
+                fwhm_x=i_fx / r_ism, fwhm_y=i_fy / r_ism,
+                emitted_signal=point_res.emitted_signal,
+                exposure=exp_p,
+                num_steps=pdose.num_steps,
+            )
         if rescan_geom is None:
-            return point_res, line_res, None
+            return point_res, line_res, None, ism_res
 
         if fuse_orientations:
             from rescan_line_sted_tpu.algorithms.fusion import (
@@ -192,7 +235,7 @@ def dose_matched_sweep(
                 exposure=exp_l,
                 num_steps=ldose.num_steps * orientations,
             )
-            return point_res, line_res, rescan_res
+            return point_res, line_res, rescan_res, ism_res
 
         from rescan_line_sted_tpu.imaging.rescan import (
             rescanned_line_sted_image,
@@ -212,17 +255,17 @@ def dose_matched_sweep(
             exposure=exp_l,
             num_steps=ldose.num_steps * orientations,
         )
-        return point_res, line_res, rescan_res
+        return point_res, line_res, rescan_res, ism_res
 
     b = powers.shape[0]
     if key is None:
-        point_res, line_res, rescan_res = jax.vmap(
-            lambda s: one(s, None, None, None))(powers)
+        point_res, line_res, rescan_res, ism_res = jax.vmap(
+            lambda s: one(s, None, None, None, None))(powers)
     else:
-        kp, kl, kr = jax.random.split(key, 3)
-        point_res, line_res, rescan_res = jax.vmap(one)(
+        kp, kl, kr, ki = jax.random.split(key, 4)
+        point_res, line_res, rescan_res, ism_res = jax.vmap(one)(
             powers, jax.random.split(kp, b), jax.random.split(kl, b),
-            jax.random.split(kr, b))
+            jax.random.split(kr, b), jax.random.split(ki, b))
     return DoseMatchedComparison(
         depletion_powers=powers, dose_budget=budget,
-        point=point_res, line=line_res, rescan=rescan_res)
+        point=point_res, line=line_res, rescan=rescan_res, ism=ism_res)

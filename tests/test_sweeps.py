@@ -122,3 +122,45 @@ def test_sweep_fuse_orientations_isotropic_at_high_s():
     # resolution still improves with depletion after fusion
     assert l_fx[-1] < l_fx[0]
     assert r_fx[-1] < r_fx[0]
+
+
+def test_sweep_with_ism_arm():
+    """The beyond-reference ISM arm: same illumination/dose as the point
+    arm, canvas-grid images, sharper-than-descanned-point resolution."""
+    from rescan_line_sted_tpu.config import RescanPointGeometry
+
+    igeom = RescanPointGeometry(Grid(*SHAPE), rescan_factor=2.0, chunk=48)
+    res = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM, POWERS,
+                             dose_budget=100.0, ism_geom=igeom)
+    assert res.ism is not None
+    assert res.ism.image.shape == (3, 96, 96)
+    np.testing.assert_allclose(np.asarray(res.ism.exposure),
+                               np.asarray(res.point.exposure), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.ism.emitted_signal),
+                               np.asarray(res.point.emitted_signal),
+                               rtol=1e-6)
+    # at s=0 (matched widths) pixel reassignment beats descanned detection
+    # -- the classic ISM gain; at high s with FIXED R=2 the reassigned
+    # kernel becomes detection-limited while the descanned kernel tracks
+    # the shrinking illumination, so no all-power claim is made
+    fx = np.asarray(res.ism.fwhm_x)
+    assert fx[0] < np.asarray(res.point.fwhm_x)[0]
+    # resolution still improves with depletion
+    assert fx[2] < fx[1] < fx[0]
+
+
+def test_sweep_ism_arm_fused_protocol():
+    from rescan_line_sted_tpu.config import RescanPointGeometry
+
+    igeom = RescanPointGeometry(Grid(*SHAPE), rescan_factor=2.0, chunk=48)
+    res = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM,
+                             POWERS[:2], dose_budget=100.0, ism_geom=igeom,
+                             fuse_orientations=True, fusion_iters=10)
+    # deconvolved canvas, still canvas-shaped; achieved resolution isotropic
+    # and sharper than the raw (undeconvolved) ISM kernel
+    assert res.ism.image.shape == (2, 96, 96)
+    fx, fy = np.asarray(res.ism.fwhm_x), np.asarray(res.ism.fwhm_y)
+    np.testing.assert_allclose(fx, fy, rtol=0.15)
+    raw = dose_matched_sweep(SAMPLE, PBASE, LBASE, PGEOM, LGEOM, POWERS[:2],
+                             dose_budget=100.0, ism_geom=igeom)
+    assert (fx < np.asarray(raw.ism.fwhm_x)[:2] + 1e-3).all()
