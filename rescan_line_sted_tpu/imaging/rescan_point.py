@@ -179,13 +179,26 @@ def rescan_point_canvas_mean(
 ) -> jnp.ndarray:
     """Noise-free rescanned point-STED canvas: the closed form of the module
     doc (``canvas_hat = B * D_hat * E * S_R``), exact for ANY rescan factor
-    (binning = 1). Linear in ``sample`` -- also the forward operator for
-    operator-form deconvolution (``algorithms/fusion.py:ism_deconvolve``).
+    and ANY detector binning. Linear in ``sample`` -- also the forward
+    operator for operator-form deconvolution.
+
+    With ``binning > 1`` the reassignment map is b-periodically
+    shift-variant in BOTH axes: writing the emitter position ``a = b*m +
+    rho`` per axis (b^2 residue classes) and pushing the binned-frame
+    placement through the image formation gives
+
+        canvas_hat(k) = B * E_b(k) * sum_rho Dy_ry(ky) Dx_rx(kx) S_rho(k)
+
+    where ``D*_r`` are the phase-r binned detection profile spectra
+    (recentered; the detection PSF is separable so the 2D binned kernel
+    factorizes exactly), ``E_b`` is the illumination DFT at the
+    b-scaled frequencies, and ``S_rho`` is the scaled DFT of the
+    ``rho``-residue subsampled sample placed at ``R*m`` -- the same
+    per-axis algebra the line engine's ``rescan_x_kernels_rfft`` uses
+    (parity-verified there), applied to both axes.
     """
     if geom.binning != 1:
-        raise ValueError(
-            "the closed-form rescanned point-STED engine supports "
-            "binning=1; use method='scan' for re-binned detection")
+        return _canvas_mean_binned(sample, params, geom)
     h, w = geom.grid.shape
     hc, wc = geom.canvas_shape
     r = float(geom.rescan_factor)
@@ -203,6 +216,73 @@ def rescan_point_canvas_mean(
     s_hat = jnp.einsum("kx,xq->kq", s1, px, precision=_PRECISION)
 
     canvas = jnp.fft.irfft2(s_hat * e_hat * d_hat, s=(hc, wc))
+    return params.brightness * canvas
+
+
+def _binned_axis_spectra(n: int, nc: int, b: int, r: float, kk, det_profile):
+    """Per-residue binned-detection spectra for one axis: [b, len(kk)].
+
+    ``d_rho[u] = sum_j det[(b u + j - rho) % n]`` rfft-embedded on the
+    canvas ring, recentered to the binned center ``n // (2b)``, and
+    multiplied by the residue placement phase
+    ``exp(-2i pi k (R-1) rho / (b nc))`` (mirrors the line engine's
+    ``rescan_x_kernels_rfft``, whose recipe is oracle-verified at b=2).
+    """
+    u_idx = np.arange(n // b)
+    j_idx = np.arange(b)
+    rho_idx = np.arange(b)
+    gather = (b * u_idx[None, :, None] + j_idx[None, None, :]
+              - rho_idx[:, None, None]) % n
+    d = det_profile[gather].sum(-1)                            # [b, n/b]
+    center_ph = _np_phases(-kk * (n // (2 * b)) / nc)
+    rho_ph = _np_phases(kk[None, :] * (r - 1.0) * rho_idx[:, None] / (b * nc))
+    # full FFT then slice: the y axis keeps ALL nc modes under rfft2, the
+    # x axis only the one-sided nc//2+1 -- len(kk) selects either
+    spec = jnp.fft.fft(d, n=nc, axis=-1)[:, :kk.shape[0]]
+    return spec * center_ph[None, :] * rho_ph
+
+
+def _canvas_mean_binned(sample, params, geom):
+    """The b > 1 closed form (see ``rescan_point_canvas_mean``)."""
+    b = geom.binning
+    h, w = geom.grid.shape
+    hc, wc = geom.canvas_shape
+    r = float(geom.rescan_factor)
+    ky = np.arange(hc, dtype=np.float64)
+    kx = np.arange(wc // 2 + 1, dtype=np.float64)
+    cy, cx = h // 2, w // 2
+
+    det_y = psfs.detection_profile(h, params.sigma_det)
+    det_x = psfs.detection_profile(w, params.sigma_det)
+    dy = _binned_axis_spectra(h, hc, b, r, ky, det_y)          # [b, Hc]
+    # x axis: the rfft ring is one-sided; same formula on the kept modes
+    dx = _binned_axis_spectra(w, wc, b, r, kx, det_x)          # [b, Kx]
+
+    # E_b: illumination DFT at the b-scaled frequencies (full 2D eff)
+    ay = np.arange(h, dtype=np.float64)
+    ax = np.arange(w, dtype=np.float64)
+    by = _np_phases(-ky[None, :] * (r - 1.0) * (ay - cy)[:, None] / (b * hc))
+    bx = _np_phases(-kx[None, :] * (r - 1.0) * (ax - cx)[:, None] / (b * wc))
+    eff = effective_point_psf((h, w), params).astype(jnp.complex64)
+    e1 = jnp.einsum("yx,yk->kx", eff, by, precision=_PRECISION)
+    e_hat = jnp.einsum("kx,xq->kq", e1, bx, precision=_PRECISION)
+
+    # placement tables for the residue-subsampled sample at R * m
+    my = np.arange(h // b, dtype=np.float64)
+    mx = np.arange(w // b, dtype=np.float64)
+    py = _np_phases(ky[None, :] * r * my[:, None] / hc)        # [h/b, Hc]
+    px = _np_phases(kx[None, :] * r * mx[:, None] / wc)        # [w/b, Kx]
+
+    s_split = sample.reshape(h // b, b, w // b, b).astype(jnp.complex64)
+    canvas_hat = jnp.zeros((hc, wc // 2 + 1), jnp.complex64)
+    for ry in range(b):
+        for rx in range(b):
+            s_rho = s_split[:, ry, :, rx]                      # [h/b, w/b]
+            s1 = jnp.einsum("yx,yk->kx", s_rho, py, precision=_PRECISION)
+            s_hat = jnp.einsum("kx,xq->kq", s1, px, precision=_PRECISION)
+            canvas_hat = canvas_hat + dy[ry][:, None] * dx[rx][None, :] \
+                * s_hat
+    canvas = jnp.fft.irfft2(e_hat * canvas_hat, s=(hc, wc))
     return params.brightness * canvas
 
 

@@ -79,10 +79,19 @@ def test_analytic_matches_scan(r):
     assert _rel(an, sc) < 1e-5
 
 
-def test_analytic_rejects_binning():
-    geom = RescanPointGeometry(Grid(32, 32), rescan_factor=2.0, binning=2)
-    with pytest.raises(ValueError, match="binning"):
-        rescanned_point_sted_image(_interior_sample(), PARAMS, geom)
+@pytest.mark.parametrize("r,b", [(2.0, 2), (1.5, 2), (3.0, 4)])
+def test_analytic_matches_scan_binned(r, b):
+    """The b^2-residue closed form equals the per-position binned process
+    at any rescan factor."""
+    sample = _interior_sample()
+    geom = RescanPointGeometry(Grid(32, 32), rescan_factor=r, binning=b,
+                               chunk=32)
+    an = rescanned_point_sted_image(sample, PARAMS, geom,
+                                    method="analytic").image
+    sc = rescanned_point_sted_image(sample, PARAMS, geom, method="scan",
+                                    reassignment="subpixel").image
+    assert an.shape == sc.shape == geom.canvas_shape
+    assert _rel(an, sc) < 1e-5
 
 
 def test_point_lands_at_r_times_position():
