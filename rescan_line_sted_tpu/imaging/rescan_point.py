@@ -12,11 +12,13 @@ resolution gain at matched widths); with depletion it is "rescan STED".
 
 Methods:
 
-* ``"analytic"`` (default, ``binning == 1``): the closed-form canvas mean.
-  Derivation (camera indices unwrapped -- exact for samples zero within
-  ~PSF support of ALL edges, both axes reassign; pad otherwise). With
-  centered PSFs (center ``c``), subpixel placement, canvas ring
-  ``Nc = (Hc, Wc)`` and frequency ``k = (ky, kx)``::
+* ``"analytic"`` (default): the closed-form canvas mean, any rescan factor
+  and any binning (b > 1 runs the b^2-residue form in
+  ``rescan_point_canvas_mean``; DERIVATIONS 3c). Derivation for b = 1
+  (camera indices unwrapped -- exact for samples zero within ~PSF support
+  of ALL edges, both axes reassign; pad otherwise). With centered PSFs
+  (center ``c``), subpixel placement, canvas ring ``Nc = (Hc, Wc)`` and
+  frequency ``k = (ky, kx)``::
 
       canvas_hat(k) = B * D_hat(k) * E(k) * S_R(k)
       D_hat(k) = sum_a det[a] exp(-2i pi k.(a - c) / Nc)
@@ -201,7 +203,18 @@ def rescan_point_canvas_mean(
         return _canvas_mean_binned(sample, params, geom)
     h, w = geom.grid.shape
     hc, wc = geom.canvas_shape
-    r = float(geom.rescan_factor)
+    # module-level jit (inlines for free under an outer jit): keeps EAGER
+    # callers working on runtimes whose eager mode cannot handle the
+    # complex intermediate chain (the axon tunnel, docs/PERFORMANCE.md)
+    return _canvas_mean_b1(sample, params, shape=(h, w),
+                           canvas_shape=(hc, wc),
+                           r=float(geom.rescan_factor))
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "canvas_shape", "r"))
+def _canvas_mean_b1(sample, params, *, shape, canvas_shape, r):
+    h, w = shape
+    hc, wc = canvas_shape
     py, px, by, bx, dy, dx = _phase_tables(h, w, hc, wc, r)
 
     eff = effective_point_psf((h, w), params).astype(jnp.complex64)
@@ -244,10 +257,17 @@ def _binned_axis_spectra(n: int, nc: int, b: int, r: float, kk, det_profile):
 
 def _canvas_mean_binned(sample, params, geom):
     """The b > 1 closed form (see ``rescan_point_canvas_mean``)."""
-    b = geom.binning
-    h, w = geom.grid.shape
-    hc, wc = geom.canvas_shape
-    r = float(geom.rescan_factor)
+    return _canvas_mean_bn(sample, params, b=geom.binning,
+                           shape=geom.grid.shape,
+                           canvas_shape=geom.canvas_shape,
+                           r=float(geom.rescan_factor))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "shape", "canvas_shape", "r"))
+def _canvas_mean_bn(sample, params, *, b, shape, canvas_shape, r):
+    h, w = shape
+    hc, wc = canvas_shape
     ky = np.arange(hc, dtype=np.float64)
     kx = np.arange(wc // 2 + 1, dtype=np.float64)
     cy, cx = h // 2, w // 2
@@ -298,9 +318,15 @@ def rescan_point_system_kernel(
     """
     if geom.binning != 1:
         raise ValueError("system kernel defined for binning=1")
-    h, w = geom.grid.shape
-    hc, wc = geom.canvas_shape
-    r = float(geom.rescan_factor)
+    return _system_kernel(params, shape=geom.grid.shape,
+                          canvas_shape=geom.canvas_shape,
+                          r=float(geom.rescan_factor))
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "canvas_shape", "r"))
+def _system_kernel(params, *, shape, canvas_shape, r):
+    h, w = shape
+    hc, wc = canvas_shape
     _, _, by, bx, dy, dx = _phase_tables(h, w, hc, wc, r)
     eff = effective_point_psf((h, w), params).astype(jnp.complex64)
     det = psfs.detection_psf((h, w), params.sigma_det)

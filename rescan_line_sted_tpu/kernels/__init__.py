@@ -10,4 +10,7 @@ from rescan_line_sted_tpu.kernels.rescan_accumulate import (  # noqa: F401
     rescan_accumulate_reference,
 )
 from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused  # noqa: F401
-from rescan_line_sted_tpu.kernels.poisson_pallas import poisson_pallas  # noqa: F401
+from rescan_line_sted_tpu.kernels.poisson_pallas import (  # noqa: F401
+    poisson_pallas,
+    poisson_rows_tiered,
+)
