@@ -72,7 +72,8 @@ def _png_b64(images: list[np.ndarray], titles: list[str],
         buf.getvalue()).decode()
 
 
-def _curves_b64(powers, point_fx, line_fx, rescan_fx, psig, lsig) -> str:
+def _curves_b64(powers, point_fx, line_fx, rescan_fx, psig, lsig,
+                ism_fx=None) -> str:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -81,6 +82,8 @@ def _curves_b64(powers, point_fx, line_fx, rescan_fx, psig, lsig) -> str:
     ax1.plot(powers, point_fx, label="point STED (RL-restored)")
     ax1.plot(powers, line_fx, label="line STED (RL fused)")
     ax1.plot(powers, rescan_fx, "--", label="rescanned line STED (RL fused)")
+    if ism_fx is not None:
+        ax1.plot(powers, ism_fx, ":", label="rescanned point (ISM, RL)")
     ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
     ax1.legend(fontsize=8), ax1.set_title("resolution at matched dose")
     ax2.plot(powers, psig, label="point")
@@ -158,10 +161,13 @@ def html_report(out_dir: str, size: int = 192, num_powers: int = 6,
     powers = jnp.linspace(0.0, max_power, num_powers)
     # the paper's protocol: orientation-fused arms + RL-restored point arm,
     # so the published images AND the figure-4 curves are the fused results
+    from rescan_line_sted_tpu.config import RescanPointGeometry
+
+    igeom = RescanPointGeometry(grid, rescan_factor=2.0)
     sweep = jax.jit(lambda p, k: dose_matched_sweep(
         sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
         orientations=2, rescan_geom=rgeom, fuse_orientations=True,
-        fusion_iters=min(rl_iters, 30)))(powers, key)
+        fusion_iters=min(rl_iters, 30), ism_geom=igeom))(powers, key)
     powers_np = np.asarray(powers)
 
     frames1, labels1 = [], []
@@ -169,9 +175,11 @@ def html_report(out_dir: str, size: int = 192, num_powers: int = 6,
         frames1.append(_png_b64(
             [np.asarray(sweep.point.image[i]),
              np.asarray(sweep.line.image[i]),
-             np.asarray(sweep.rescan.image[i])],
+             np.asarray(sweep.rescan.image[i]),
+             np.asarray(sweep.ism.image[i])],
             ["point STED (RL-restored)", "line STED (2-orient. RL fused)",
-             "rescanned line STED (RL fused)"]))
+             "rescanned line STED (RL fused)",
+             "rescanned point (ISM, RL)"]))
         labels1.append(f"depletion power s = {s:.1f}")
 
     # --- figure 2: scan process (camera frame | accumulating image) -------
@@ -206,7 +214,8 @@ def html_report(out_dir: str, size: int = 192, num_powers: int = 6,
         powers_np, np.asarray(sweep.point.fwhm_x),
         np.asarray(sweep.line.fwhm_x), np.asarray(sweep.rescan.fwhm_x),
         np.asarray(sweep.point.emitted_signal),
-        np.asarray(sweep.line.emitted_signal))
+        np.asarray(sweep.line.emitted_signal),
+        ism_fx=np.asarray(sweep.ism.fwhm_x))
 
     html = f"""<!DOCTYPE html>
 <html lang="en"><head><meta charset="utf-8"/>
@@ -234,7 +243,10 @@ dose-matched exposure.</p>
 {_slider_figure("fig1", "Drag the slider to change the depletion power s. "
                 "At equal total photodose the line-scanning modalities keep "
                 "far more signal at high s because every pixel is "
-                "illuminated W times fewer.", frames1, labels1)}
+                "illuminated W times fewer. The fourth panel is the "
+                "beyond-reference rescanned POINT acquisition (2D pixel "
+                "reassignment / ISM) at the point arm's dose.",
+                frames1, labels1)}
 
 <h2>2. The descanned line-STED scan process</h2>
 {_slider_figure("fig2", "Raw camera frame at each scan position (left) and "
