@@ -18,7 +18,9 @@ from rescan_line_sted_tpu.algorithms.fusion import (  # noqa: F401
     ism_deconvolve,
 )
 from rescan_line_sted_tpu.algorithms.calibration import (  # noqa: F401
+    fit_acquisition_params,
     fit_line_sted_params,
+    fit_point_sted_params,
 )
 from rescan_line_sted_tpu.algorithms.frc import (  # noqa: F401
     frc_curve,

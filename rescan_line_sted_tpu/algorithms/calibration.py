@@ -19,25 +19,31 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rescan_line_sted_tpu.config import LineSTEDGeometry, LineSTEDParams
+from rescan_line_sted_tpu.config import (
+    LineSTEDGeometry,
+    LineSTEDParams,
+    PointSTEDGeometry,
+    PointSTEDParams,
+)
 from rescan_line_sted_tpu.imaging.line_sted import line_sted_image
+from rescan_line_sted_tpu.imaging.point_sted import point_sted_image
 
 
-def fit_line_sted_params(
+def fit_acquisition_params(
+    forward,
     data: jnp.ndarray,
-    sample: jnp.ndarray,
-    init_params: LineSTEDParams,
-    geom: LineSTEDGeometry,
-    fit_fields: tuple[str, ...] = ("sigma_det", "depletion"),
+    init_params,
+    fit_fields: tuple[str, ...],
     num_steps: int = 300,
     learning_rate: float = 5e-2,
-) -> tuple[LineSTEDParams, jnp.ndarray]:
-    """Fit selected physics parameters to an acquired image.
+):
+    """Fit selected physics parameters of ANY acquisition forward model.
 
-    ``data`` [H, W]: measured descanned line-STED image of the known
-    ``sample``. Returns ``(fitted_params, losses [num_steps])``. Fitted
-    fields are kept positive via softplus; all other fields stay at their
-    ``init_params`` values.
+    ``forward(params) -> predicted image`` must be a pure JAX function of
+    the params pytree (every engine in ``imaging/`` qualifies, including
+    the analytic rescan/ISM canvas means). Fitted fields are kept positive
+    via softplus; the rest stay at ``init_params``. Returns
+    ``(fitted_params, losses [num_steps])``.
     """
     init_vals = {f: jnp.asarray(getattr(init_params, f), jnp.float32)
                  for f in fit_fields}
@@ -50,7 +56,7 @@ def fit_line_sted_params(
             **{f: jax.nn.softplus(t) for f, t in theta.items()})
 
     def loss_fn(theta):
-        pred = line_sted_image(sample, to_params(theta), geom).image
+        pred = forward(to_params(theta))
         return jnp.mean(jnp.square(pred - data))
 
     opt = optax.adam(learning_rate)
@@ -64,3 +70,33 @@ def fit_line_sted_params(
     (theta, _), losses = jax.lax.scan(
         step, (theta0, opt.init(theta0)), None, length=num_steps)
     return to_params(theta), losses
+
+
+def fit_line_sted_params(
+    data: jnp.ndarray,
+    sample: jnp.ndarray,
+    init_params: LineSTEDParams,
+    geom: LineSTEDGeometry,
+    fit_fields: tuple[str, ...] = ("sigma_det", "depletion"),
+    num_steps: int = 300,
+    learning_rate: float = 5e-2,
+) -> tuple[LineSTEDParams, jnp.ndarray]:
+    """Fit line-STED physics to a measured descanned image of ``sample``."""
+    return fit_acquisition_params(
+        lambda p: line_sted_image(sample, p, geom).image, data, init_params,
+        fit_fields, num_steps, learning_rate)
+
+
+def fit_point_sted_params(
+    data: jnp.ndarray,
+    sample: jnp.ndarray,
+    init_params: PointSTEDParams,
+    geom: PointSTEDGeometry,
+    fit_fields: tuple[str, ...] = ("sigma_det", "depletion"),
+    num_steps: int = 300,
+    learning_rate: float = 5e-2,
+) -> tuple[PointSTEDParams, jnp.ndarray]:
+    """Fit point-STED physics to a measured descanned image of ``sample``."""
+    return fit_acquisition_params(
+        lambda p: point_sted_image(sample, p, geom).image, data, init_params,
+        fit_fields, num_steps, learning_rate)
