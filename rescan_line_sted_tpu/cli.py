@@ -72,20 +72,37 @@ def _figure(args) -> None:
 
 
 def _psf_report(args) -> None:
-    from rescan_line_sted_tpu.algorithms.metrics import system_resolution_report
-    from rescan_line_sted_tpu.config import LineSTEDParams, PointSTEDParams
+    import jax
+
+    from rescan_line_sted_tpu.algorithms.metrics import (
+        fwhm_2d,
+        system_resolution_report,
+    )
+    from rescan_line_sted_tpu.config import (
+        Grid,
+        LineSTEDParams,
+        PointSTEDParams,
+        RescanPointGeometry,
+    )
+    from rescan_line_sted_tpu.imaging import rescan_point_system_kernel
 
     shape = (args.size, args.size)
     point = system_resolution_report(shape, PointSTEDParams.create(
         depletion=args.depletion))
     line = system_resolution_report(shape, LineSTEDParams.create(
         depletion=args.depletion))
+    igeom = RescanPointGeometry(Grid(*shape), rescan_factor=2.0)
+    ism_y, ism_x = jax.jit(lambda: fwhm_2d(rescan_point_system_kernel(
+        igeom, PointSTEDParams.create(depletion=args.depletion))))()
     print(json.dumps({
         "depletion": args.depletion,
         "point_fwhm_x": float(point.fwhm_x),
         "point_fwhm_y": float(point.fwhm_y),
         "line_fwhm_x": float(line.fwhm_x),
         "line_fwhm_y": float(line.fwhm_y),
+        # ISM (rescanned point, R=2) in sample pixels: canvas FWHM / R
+        "ism_fwhm_x": float(ism_x) / 2.0,
+        "ism_fwhm_y": float(ism_y) / 2.0,
     }))
 
 
