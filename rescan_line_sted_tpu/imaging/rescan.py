@@ -65,6 +65,14 @@ from rescan_line_sted_tpu.config import matmul_precision
 # engine matmul precision (HIGHEST unless RLS_MATMUL_PRECISION overrides;
 # see config.matmul_precision for the measured error budget)
 _PRECISION = matmul_precision()
+# POST-SAMPLING placement einsums (the hybrid's DFT of integer Poisson
+# counts): bf16x3 deviates 2.9e-6 from HIGHEST -- inside the engine's own
+# 1e-5 bar and far below shot noise -- for +18% per-step throughput
+# (docs/PERFORMANCE.md). The physics matmuls BEFORE sampling keep
+# _PRECISION; an explicit user override still applies everywhere.
+_PLACE_PRECISION = (jax.lax.Precision.HIGH
+                    if _PRECISION == jax.lax.Precision.HIGHEST
+                    else _PRECISION)
 
 
 def rescanned_line_sted_image(
@@ -336,17 +344,18 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
             # draws, and the W-major layout keeps bright blocks contiguous
             frames_t = poisson_rows_tiered(k, _rebin(cam_t, b))
             # forward rDFT of each frame as two MXU matmuls (zero padding to
-            # wc folds into keeping only the first W/b DFT-matrix rows)
+            # wc folds into keeping only the first W/b DFT-matrix rows);
+            # bf16x3 is safe here -- the operands are sampled integer counts
             sre = jnp.einsum("cxh,xk->ckh", frames_t, dft_pair[0],
                              preferred_element_type=jnp.float32,
-                             precision=_PRECISION)
+                             precision=_PLACE_PRECISION)
             sim = jnp.einsum("cxh,xk->ckh", frames_t, dft_pair[1],
                              preferred_element_type=jnp.float32,
-                             precision=_PRECISION)
+                             precision=_PLACE_PRECISION)
             spec_t = jax.lax.complex(sre, sim)                   # [C, K, H/b]
             ph_c = jax.lax.complex(ph_pair[0][pos], ph_pair[1][pos])
             add = jnp.einsum("ckh,ck->kh", spec_t, ph_c,
-                             precision=_PRECISION)
+                             precision=_PLACE_PRECISION)
             return canvas + add, None
         emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
         cam = maybe_poisson(
