@@ -36,7 +36,7 @@ def _figure(args) -> None:
             args.out, size=args.size, num_powers=args.num_powers,
             max_power=args.max_power, dose_budget=args.dose_budget,
             seed=args.seed, fuse_orientations=not args.no_fuse,
-            boundary=args.boundary),
+            boundary=args.boundary, include_ism=args.ism),
         "fusion": lambda: fusion_pipeline(
             args.out, size=args.size, num_angles=args.num_angles,
             depletion=args.depletion, rl_iters=args.rl_iters,
@@ -138,6 +138,10 @@ def main(argv=None) -> None:
                      default="descan")
     fig.add_argument("--fov-sizes", type=int, nargs="+",
                      default=[128, 256, 512])
+    fig.add_argument("--ism", action="store_true",
+                     help="sweep: add the beyond-reference rescanned-point "
+                          "(2D pixel reassignment / ISM) arm at the point "
+                          "arm's dose")
     fig.add_argument("--no-fuse", action="store_true",
                      help="sweep: skip multi-orientation RL fusion (report "
                           "raw single-orientation arms instead)")

@@ -117,13 +117,16 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
                         orientations: int = 2,
                         fuse_orientations: bool = True,
                         fusion_iters: int = 30,
-                        boundary: str = "circular") -> dict:
+                        boundary: str = "circular",
+                        include_ism: bool = False) -> dict:
     """Full dose-matched sweep with per-chunk checkpoint/resume.
 
     ``fuse_orientations`` (default on, the paper's protocol) reports the
     N-orientation RL-fused line/rescan arms and achieved post-fusion
     resolutions; see ``dose_matched_sweep``. ``boundary="padded"`` runs the
-    whole sweep open-boundary (pad-acquire-crop).
+    whole sweep open-boundary (pad-acquire-crop). ``include_ism`` adds the
+    beyond-reference rescanned-point (2D pixel reassignment) arm at the
+    point arm's dose.
     """
     if boundary not in ("circular", "padded", "apodized"):
         raise ValueError(f"unknown boundary {boundary!r}")
@@ -150,16 +153,23 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     powers = jnp.linspace(0.0, max_power, num_powers)
 
     rgeom = RescanGeometry(grid, rescan_factor=2.0)
+    igeom = None
+    if include_ism:
+        from rescan_line_sted_tpu.config import RescanPointGeometry
+
+        igeom = RescanPointGeometry(grid, rescan_factor=2.0)
     run = jax.jit(lambda p, k: dose_matched_sweep(
         sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
         orientations=orientations, rescan_geom=rgeom,
-        fuse_orientations=fuse_orientations, fusion_iters=fusion_iters))
+        fuse_orientations=fuse_orientations, fusion_iters=fusion_iters,
+        ism_geom=igeom))
 
     ckpt = SweepCheckpoint(os.path.join(out_dir, "sweep_ckpt"))
     meta = dict(size=size, num_powers=num_powers, max_power=max_power,
                 dose_budget=dose_budget, seed=seed, chunk=chunk,
                 orientations=orientations,
-                fuse_orientations=fuse_orientations, boundary=boundary)
+                fuse_orientations=fuse_orientations, boundary=boundary,
+                include_ism=include_ism)
     stored = ckpt.read_meta()
     if stored and stored != meta and ckpt.completed():
         raise ValueError(
@@ -203,27 +213,43 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
             x0 = int(round(r * margin)) // b
             rimg = rimg[:, margin // b: margin // b + size // b,
                         x0: x0 + int(round(r * size)) // b]
-        merged = merged.replace(
+        repl = dict(
             point=merged.point.replace(image=crop(merged.point.image)),
             line=merged.line.replace(image=crop(merged.line.image)),
             rescan=merged.rescan.replace(image=rimg))
+        if include_ism:
+            # ISM canvases (raw AND deconvolved) live on the R-magnified
+            # grid; both axes scale by R (binning=1 here)
+            ri = igeom.rescan_factor
+            i0 = int(round(ri * margin))
+            iw = int(round(ri * size))
+            repl["ism"] = merged.ism.replace(
+                image=merged.ism.image[:, i0:i0 + iw, i0:i0 + iw])
+        merged = merged.replace(**repl)
 
-    np.savez(os.path.join(out_dir, "dose_sweep_curves.npz"),
-             depletion_powers=np.asarray(merged.depletion_powers),
-             point_fwhm_x=np.asarray(merged.point.fwhm_x),
-             point_fwhm_y=np.asarray(merged.point.fwhm_y),
-             line_fwhm_x=np.asarray(merged.line.fwhm_x),
-             line_fwhm_y=np.asarray(merged.line.fwhm_y),
-             rescan_fwhm_x=np.asarray(merged.rescan.fwhm_x),
-             rescan_fwhm_y=np.asarray(merged.rescan.fwhm_y),
-             point_signal=np.asarray(merged.point.emitted_signal),
-             line_signal=np.asarray(merged.line.emitted_signal))
-    _save_panels(out_dir, "dose_sweep_images", {
+    curves = dict(
+        depletion_powers=np.asarray(merged.depletion_powers),
+        point_fwhm_x=np.asarray(merged.point.fwhm_x),
+        point_fwhm_y=np.asarray(merged.point.fwhm_y),
+        line_fwhm_x=np.asarray(merged.line.fwhm_x),
+        line_fwhm_y=np.asarray(merged.line.fwhm_y),
+        rescan_fwhm_x=np.asarray(merged.rescan.fwhm_x),
+        rescan_fwhm_y=np.asarray(merged.rescan.fwhm_y),
+        point_signal=np.asarray(merged.point.emitted_signal),
+        line_signal=np.asarray(merged.line.emitted_signal))
+    if include_ism:
+        curves["ism_fwhm_x"] = np.asarray(merged.ism.fwhm_x)
+        curves["ism_fwhm_y"] = np.asarray(merged.ism.fwhm_y)
+    np.savez(os.path.join(out_dir, "dose_sweep_curves.npz"), **curves)
+    panels = {
         "point_s0": merged.point.image[0],
         "point_smax": merged.point.image[-1],
         "line_s0": merged.line.image[0],
         "line_smax": merged.line.image[-1],
-    })
+    }
+    if include_ism:
+        panels["ism_smax"] = merged.ism.image[-1]
+    _save_panels(out_dir, "dose_sweep_images", panels)
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -236,6 +262,9 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         ax1.plot(p, np.asarray(merged.line.fwhm_x), label=line_label)
         ax1.plot(p, np.asarray(merged.rescan.fwhm_x), "--",
                  label="rescanned line STED")
+        if include_ism:
+            ax1.plot(p, np.asarray(merged.ism.fwhm_x), ":",
+                     label="rescanned point (ISM)")
         ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
         ax1.legend(), ax1.set_title("resolution at matched dose")
         ax2.plot(p, np.asarray(merged.point.emitted_signal), label="point")
@@ -260,6 +289,8 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         "line_to_point_step_ratio": float(merged.line.num_steps[0]
                                           / merged.point.num_steps[0]),
     }
+    if include_ism:
+        metrics["ism_fwhm_x_at_smax"] = float(merged.ism.fwhm_x[-1])
     emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
     return metrics
 

@@ -132,3 +132,15 @@ def test_html_report(tmp_path):
     assert html.count("<input type=\"range\"") == 3
     assert "wire(" in html and "fig1-slider" in html
     assert m["bytes"] > 10_000
+
+
+def test_dose_sweep_pipeline_with_ism_arm(tmp_path):
+    m = dose_sweep_pipeline(str(tmp_path), size=48, num_powers=4, chunk=2,
+                            dose_budget=50.0, include_ism=True,
+                            boundary="padded")
+    assert "ism_fwhm_x_at_smax" in m
+    curves = np.load(tmp_path / "dose_sweep_curves.npz")
+    assert curves["ism_fwhm_x"].shape == (4,)
+    # cropped ISM canvases land back on the R-magnified requested field
+    img = tif_to_array(str(tmp_path / "dose_sweep_images_ism_smax.tif"))
+    assert img.shape == (96, 96)
