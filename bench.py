@@ -238,7 +238,10 @@ def bench_tpu_sweep():
 
 
 def bench_oracle_sweep():
-    """Per-sweep-point oracle cost, from timed per-step costs (see module doc)."""
+    """Per-sweep-point oracle cost, from timed per-step costs (see module
+    doc). Each subset is timed twice and the MINIMUM per-step cost kept:
+    the oracle shares the host CPU with the tunnel client, and transient
+    contention otherwise swings the headline denominator run-to-run."""
     n = SWEEP_SIZE
     sample = np.asarray(samples.siemens_star((n, n)), np.float64)
     rng = np.random.default_rng(0)
@@ -250,27 +253,33 @@ def bench_oracle_sweep():
     eff = oracle.effective_psf(exc, dep, 8.0)
     det = oracle.detection_psf(shape, POINT_KW["sigma_det"])
     pin = oracle.pinhole_mask(shape, POINT_KW["pinhole_radius"])
-    t0 = time.perf_counter()
-    for step in range(ORACLE_POINT_STEPS):
-        y0, x0 = step // n, step % n
-        ill = oracle.shift_to(eff, y0, x0)
-        cam = oracle.fft_convolve(sample * ill, det)
-        cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
-        _ = np.sum(cam * oracle.shift_to(pin, y0, x0))
-    point_per_step = (time.perf_counter() - t0) / ORACLE_POINT_STEPS
+    point_per_step = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for step in range(ORACLE_POINT_STEPS):
+            y0, x0 = step // n, step % n
+            ill = oracle.shift_to(eff, y0, x0)
+            cam = oracle.fft_convolve(sample * ill, det)
+            cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
+            _ = np.sum(cam * oracle.shift_to(pin, y0, x0))
+        point_per_step = min(point_per_step, (time.perf_counter() - t0)
+                             / ORACLE_POINT_STEPS)
 
     # --- line-STED: time a subset of column positions ---
     excl = oracle.line_excitation_profile(n, LINE_KW["sigma_exc"])
     depl = oracle.stripe_depletion_profile(n, LINE_KW["stripe_period"])
     effl = oracle.effective_psf(excl, depl, 8.0)
     slit = oracle.slit_profile(n, LINE_KW["slit_halfwidth"])
-    t0 = time.perf_counter()
-    for x0 in range(ORACLE_LINE_STEPS):
-        ill = oracle.shift_profile_to(effl, x0)[None, :]
-        cam = oracle.fft_convolve(sample * ill, det)
-        cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
-        _ = cam @ oracle.shift_profile_to(slit, x0)
-    line_per_step = (time.perf_counter() - t0) / ORACLE_LINE_STEPS
+    line_per_step = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for x0 in range(ORACLE_LINE_STEPS):
+            ill = oracle.shift_profile_to(effl, x0)[None, :]
+            cam = oracle.fft_convolve(sample * ill, det)
+            cam = rng.poisson(np.maximum(cam, 0.0)).astype(np.float64)
+            _ = cam @ oracle.shift_profile_to(slit, x0)
+        line_per_step = min(line_per_step, (time.perf_counter() - t0)
+                            / ORACLE_LINE_STEPS)
 
     per_point = n * n * point_per_step + n * line_per_step
     return per_point * SWEEP_POWERS, point_per_step, line_per_step
