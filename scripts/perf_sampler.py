@@ -1,5 +1,12 @@
 """Microbench: tiered-block Poisson sampler vs flat sampler on realistic
-(mostly-dark, W-major transposed) camera-frame rates.  TPU only."""
+(mostly-dark, W-major transposed) camera-frame rates.  TPU only.
+
+WARNING: UNRELIABLE through the axon tunnel -- isolated tiny programs
+sometimes return in dispatch-only wall time regardless of the fold-in
+methodology (numbers like 2+ Tpix/s are artifacts). Trust the
+ENGINE-LEVEL measurements in perf_hybrid_pieces*.py instead; this file is
+kept as a record of the failed approach (docs/PERFORMANCE.md
+"Measurement methodology")."""
 
 import os
 import sys
