@@ -101,6 +101,36 @@ def test_hybrid_fractional_r_per_step_hardware_statistics():
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="in-kernel hardware PRNG needs a real TPU")
+def test_line_per_step_hybrid_fallback_statistics():
+    """The transposed tiered-sampling fallback used when the fused line
+    kernel is excluded (very large widths / too-small slit windows):
+    forced here via an undersized slit_support at a small size."""
+    size = 128
+    key0 = jax.random.key(21)
+    sample = jax.random.uniform(key0, (size, size), jnp.float32) * 5.0
+    geom = LineSTEDGeometry(Grid(size, size), chunk=32)
+    make = lambda s, k: line_sted_image(  # noqa: E731
+        s, PARAMS, geom, key=k, method="scan", noise_mode="per_step",
+        slit_support=4).image  # < 2*halfwidth+2 -> fused excluded
+    f = jax.jit(make)
+    mean = np.asarray(jax.jit(lambda s: make(s, None))(sample))
+    ref = np.asarray(jax.jit(lambda s: line_sted_image(
+        s, PARAMS, geom, method="scan").image)(sample))
+    np.testing.assert_allclose(mean, ref, rtol=1e-5, atol=1e-3)
+    draws = np.stack([np.asarray(f(sample, k))
+                      for k in jax.random.split(key0, 16)])
+    sel = mean > 20.0
+    rel = np.abs(draws.mean(0)[sel] - mean[sel]).mean() / mean[sel].mean()
+    var_ratio = (draws.var(0, ddof=1)[sel]
+                 / np.maximum(mean[sel], 1e-9)).mean()
+    assert rel < 0.05
+    assert 0.9 < var_ratio < 1.12
+    a = np.asarray(f(sample, jax.random.key(5)))
+    np.testing.assert_array_equal(a, np.asarray(f(sample, jax.random.key(5))))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel hardware PRNG needs a real TPU")
 def test_fused_per_step_deterministic_in_key():
     """Same key -> bit-identical noisy image (seed derives from the key)."""
     size = 128
