@@ -275,10 +275,19 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             dft_pair = (jnp.asarray(np.cos(ang).astype(np.float32)),
                         jnp.asarray(np.sin(ang).astype(np.float32)))
 
+    # Collapsed spectral accumulation runs fastest with SMALL position
+    # chunks (chunk 8: +37% over 32 at 512^2 -- less HBM-resident
+    # intermediate per scan iteration; scripts + docs/PERFORMANCE.md); the
+    # re-chunk is internal scheduling only, the math is chunking-invariant.
+    # Per-step noise keeps the user chunk (sampler blocking optimum).
+    eff_chunk = chunk
+    if phase_accum and not per_step and on_tpu and w % 8 == 0 and chunk > 8:
+        eff_chunk = 8
+    n_chunks = w // eff_chunk
     keys = jax.random.split(key, n_chunks) if per_step else None
     canvas = _scan_fallback(
         sample_y, params.brightness * eff, gx_mat, keys, ph_pair, dft_pair,
-        wc=wc, chunk=chunk, b=b, rescan_factor=float(geom.rescan_factor),
+        wc=wc, chunk=eff_chunk, b=b, rescan_factor=float(geom.rescan_factor),
         phase_accum=phase_accum, use_pallas=use_pallas, tiered=on_tpu)
     if key is not None and noise_mode == "collapsed":
         canvas = maybe_poisson(key, canvas)
