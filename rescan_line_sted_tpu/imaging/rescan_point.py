@@ -44,6 +44,10 @@ Methods:
 Noise semantics match ``imaging/rescan.py``: with integer reassignment each
 camera pixel lands on one canvas pixel and collapsed noise is exact;
 subpixel placement of integer counts carries bounded sinc ringing.
+
+Camera-frame inspection: the raw frames of this modality are identical to
+point-STED's (same illumination and detection; only the accumulation
+differs) -- use ``imaging/frames.py:point_sted_camera_frames``.
 """
 
 from __future__ import annotations

@@ -66,3 +66,21 @@ def test_trace_writes_profile(tmp_path):
     for root, _, files in os.walk(d):
         found += files
     assert found  # perfetto/xplane artifacts exist
+
+
+def test_enable_compilation_cache_paths(monkeypatch, tmp_path):
+    import jax
+
+    from rescan_line_sted_tpu.utils import enable_compilation_cache
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    p = enable_compilation_cache(str(tmp_path / "cache"))
+    assert p == str(tmp_path / "cache")
+    assert jax.config.jax_compilation_cache_dir == p
+    # default lands inside the project tree
+    assert enable_compilation_cache().endswith(".jax_cache")
+    # explicit env var wins; empty string disables
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "env"))
+    assert enable_compilation_cache() == str(tmp_path / "env")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+    assert enable_compilation_cache() == ""
