@@ -31,6 +31,14 @@ import os
 import sys
 import time
 
+# Pin the oracle's BLAS/OpenMP threading BEFORE numpy loads: the oracle is
+# the reference's single-threaded numpy profile (SURVEY.md section 1), and a
+# fixed thread count keeps the anchor ratio stable against host contention
+# with the tunnel client (VERDICT r2 item 5).
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
 import numpy as np
 
 sys.path.insert(0, ".")
@@ -379,7 +387,13 @@ def main():
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
     anchor_measured, anchor_extrap = bench_oracle_anchor()
     oracle_ln_512 = bench_oracle_line_step_at(SCAN_SIZE)
-    speedup = oracle_sweep_s / tpu_sweep_s
+    # APPLY the anchor (VERDICT r2 item 5): the extrapolated denominator is
+    # multiplied by the measured/extrapolated ratio of the one full oracle
+    # run, so the headline speedup self-corrects whichever direction the
+    # linear extrapolation drifts.
+    anchor_ratio = anchor_measured / anchor_extrap
+    oracle_sweep_corrected = oracle_sweep_s * anchor_ratio
+    speedup = oracle_sweep_corrected / tpu_sweep_s
     loop_vs_loop = steps_dev * oracle_ln_512
 
     print(json.dumps({
@@ -392,8 +406,12 @@ def main():
             "device": str(jax.devices()[0]),
             "tpu_sweep_wall_s": round(tpu_sweep_s, 4),
             "oracle_sweep_wall_s_extrapolated": round(oracle_sweep_s, 2),
+            "oracle_sweep_wall_s_anchor_corrected": round(
+                oracle_sweep_corrected, 2),
             "oracle_anchor_measured_over_extrapolated": round(
-                anchor_measured / anchor_extrap, 3),
+                anchor_ratio, 3),
+            "oracle_anchor_correction_applied": True,
+            "oracle_threads": os.environ.get("OMP_NUM_THREADS"),
             "oracle_anchor_config": "full 64^2 x 2-power oracle sweep, "
                                     "nothing extrapolated",
             "oracle_point_step_s": round(pt_step, 6),

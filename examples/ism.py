@@ -15,6 +15,7 @@ from rescan_line_sted_tpu.algorithms import ism_deconvolve
 from rescan_line_sted_tpu.data import samples
 from rescan_line_sted_tpu.imaging import (
     optimal_rescan_factor_point,
+    practical_rescan_factor_point,
     rescanned_point_sted_image,
 )
 
@@ -26,10 +27,13 @@ def main():
 
     r_opt = float(jax.jit(
         lambda: optimal_rescan_factor_point(params, size))())
-    print(f"theory-optimal rescan factor: {r_opt:.2f} "
-          "(practical acquisitions cap R at a few; using 2.0)")
+    r_prac = float(jax.jit(
+        lambda: practical_rescan_factor_point(params, size))())
+    print(f"theory-optimal rescan factor: {r_opt:.2f}; practical "
+          f"(within 5% of optimal resolution): {r_prac:.2f}")
 
-    geom = rls.RescanPointGeometry(rls.Grid(size, size), rescan_factor=2.0)
+    geom = rls.RescanPointGeometry(rls.Grid(size, size),
+                                   rescan_factor=round(r_prac, 2))
     res = jax.jit(lambda s, k: rescanned_point_sted_image(
         s, params, geom, key=k))(sample, jax.random.key(0))
     canvas = np.asarray(res.image)

@@ -3,7 +3,9 @@
 The rescan theory gives the sharpest canvas at R = 1 + sigma_det^2 /
 sigma_ill_eff^2, which is almost never an integer. The analytic engine
 simulates ANY R exactly (band-limited subpixel placement); this example
-computes R*, acquires at it, and compares against the naive R=2.
+computes R*, the PRACTICAL recommendation (smallest R within 5% of the
+optimal resolution -- the variance curve is very flat, so this is usually
+severalfold smaller), and compares both against the naive R=2.
 
 Run: PYTHONPATH=. python examples/optimal_rescan.py
 """
@@ -16,15 +18,20 @@ from rescan_line_sted_tpu.algorithms.metrics import fwhm_2d
 from rescan_line_sted_tpu.data import samples
 from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
 from rescan_line_sted_tpu.imaging.analytic import rescan_system_kernel
-from rescan_line_sted_tpu.imaging.rescan import optimal_rescan_factor
+from rescan_line_sted_tpu.imaging.rescan import (
+    optimal_rescan_factor,
+    practical_rescan_factor,
+)
 
 size = 256
 params = rls.RescanParams.create(depletion=4.0, brightness=200.0)
 r_opt = float(optimal_rescan_factor(params, size))
-print(f"theory-optimal rescan factor R* = {r_opt:.3f}")
+r_prac = float(practical_rescan_factor(params, size))
+print(f"theory-optimal rescan factor R* = {r_opt:.3f}; "
+      f"practical (within 5% of optimal resolution) R = {r_prac:.3f}")
 
 sample = samples.siemens_star((size, size))
-for r in (2.0, round(r_opt, 3)):
+for r in (2.0, round(r_prac, 3), round(r_opt, 3)):
     geom = rls.RescanGeometry(rls.Grid(size, size), rescan_factor=r)
     canvas = rescanned_line_sted_image(
         sample, params, geom, key=jax.random.key(0)).image

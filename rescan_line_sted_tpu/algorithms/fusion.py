@@ -33,19 +33,27 @@ def richardson_lucy_operator(
     num_iter: int,
     init: jnp.ndarray,
     eps: float = 1e-6,
+    accelerate: bool = False,
 ) -> jnp.ndarray:
     """RL with per-view (forward, adjoint) linear-operator pairs.
 
     ``data[v]`` may live on any grid; ``operators[v] = (fwd, adj)`` maps the
     sample-grid estimate to that grid and back. ``init`` fixes the estimate
     shape. The view loop is unrolled (V is small and static).
+
+    ``accelerate=True`` enables the same Biggs-Andrews vector extrapolation
+    as ``richardson_lucy_views`` (Appl. Opt. 36, 1766 (1997)): each
+    multiplicative update is applied at a point extrapolated along the
+    recent trajectory, reaching a given restoration error in ~2-3x fewer
+    iterations at one extra elementwise pass per iteration (no extra
+    operator applications).
     """
     scale = jnp.maximum(jnp.mean(jnp.abs(data[0])), 1e-30)
     tiny = eps * scale
     norm = sum(adj(jnp.ones_like(d)) for d, (_, adj) in zip(data, operators))
     norm = jnp.maximum(norm, eps)
 
-    def body(_, est):
+    def rl_update(est):
         acc = jnp.zeros_like(est)
         for d, (fwd, adj) in zip(data, operators):
             pred = fwd(est)
@@ -53,7 +61,21 @@ def richardson_lucy_operator(
             acc = acc + adj(ratio)
         return est * acc / norm
 
-    return jax.lax.fori_loop(0, num_iter, body, init)
+    if not accelerate:
+        return jax.lax.fori_loop(0, num_iter, lambda _, e: rl_update(e), init)
+
+    def body(_, carry):
+        x, x_prev, g_prev = carry
+        g = x - x_prev
+        num = jnp.sum(g * g_prev)
+        den = jnp.maximum(jnp.sum(g_prev * g_prev), 1e-30)
+        alpha = jnp.clip(num / den, 0.0, 0.999)
+        y = jnp.maximum(x + alpha * g, 0.0)
+        return rl_update(y), x, g
+
+    x, _, _ = jax.lax.fori_loop(
+        0, num_iter, body, (init, init, jnp.zeros_like(init)))
+    return x
 
 
 def rescan_operator(geom: RescanGeometry, params: RescanParams,
@@ -114,11 +136,13 @@ def rescan_fusion(
     angles,
     num_iter: int,
     init: jnp.ndarray | None = None,
+    accelerate: bool = False,
 ) -> jnp.ndarray:
     """Fuse multi-orientation rescanned canvases into a sample-grid estimate.
 
     ``angles`` must be *static* Python floats (they parameterize the per-view
-    operators); under jit pass a tuple, not a traced array.
+    operators); under jit pass a tuple, not a traced array. ``accelerate``
+    turns on Biggs-Andrews extrapolation (see richardson_lucy_operator).
     """
     h, w = geom.grid.shape
     ops = [rescan_operator(geom, params, angle=float(a)) for a in angles]
@@ -129,7 +153,8 @@ def rescan_fusion(
         init = jnp.full((h, w), jnp.mean(canvases) * geom.rescan_factor
                         / (geom.binning ** 2
                            * jnp.maximum(params.brightness, 1e-30)))
-    return richardson_lucy_operator(data, ops, num_iter, init)
+    return richardson_lucy_operator(data, ops, num_iter, init,
+                                    accelerate=accelerate)
 
 
 def ism_deconvolve(

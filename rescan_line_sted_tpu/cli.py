@@ -36,7 +36,7 @@ def _figure(args) -> None:
             args.out, size=args.size, num_powers=args.num_powers,
             max_power=args.max_power, dose_budget=args.dose_budget,
             seed=args.seed, fuse_orientations=not args.no_fuse,
-            boundary=args.boundary, include_ism=args.ism),
+            boundary=args.boundary, include_ism=args.ism, frc=args.frc),
         "fusion": lambda: fusion_pipeline(
             args.out, size=args.size, num_angles=args.num_angles,
             depletion=args.depletion, rl_iters=args.rl_iters,
@@ -142,6 +142,10 @@ def main(argv=None) -> None:
                      help="sweep: add the beyond-reference rescanned-point "
                           "(2D pixel reassignment / ISM) arm at the point "
                           "arm's dose")
+    fig.add_argument("--frc", action="store_true",
+                     help="sweep: acquire a second independent noisy "
+                          "realization per arm and report achieved "
+                          "Fourier-Ring-Correlation resolution curves")
     fig.add_argument("--no-fuse", action="store_true",
                      help="sweep: skip multi-orientation RL fusion (report "
                           "raw single-orientation arms instead)")

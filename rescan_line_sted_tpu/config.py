@@ -8,7 +8,10 @@ Two kinds of configuration, split by how JAX treats them:
 * **Params** (``flax.struct`` pytrees of scalars): physics knobs that are traced
   values -- PSF widths, depletion saturation ``s``, brightness, pinhole/slit
   sizes. These can be ``vmap``-ped over (the dose sweep vmaps over
-  ``depletion``) without recompilation.
+  ``depletion``) without recompilation. Each params class also carries an
+  optional STATIC ``model`` field (``pytree_node=False``) selecting the
+  illumination-PSF generators (``physics/models.py``); ``None`` means the
+  built-in closed forms.
 
 The reference hard-codes all of these as constants inside each figure script
 (SURVEY.md section 6, "Config / flag system": none in reference).
@@ -170,6 +173,9 @@ class PointSTEDParams:
                        depletion nonlinearity; BASELINE.json north_star).
     * ``pinhole_radius`` descanned pinhole radius (pixels).
     * ``brightness``   expected detected photons scale per scan step.
+    * ``model``        STATIC illumination-model override (see
+                       ``physics/models.py``; ``None`` = Gaussian excitation
+                       + ``u e^{1-u}`` donut closed forms).
     """
 
     sigma_exc: jnp.ndarray
@@ -178,12 +184,15 @@ class PointSTEDParams:
     depletion: jnp.ndarray
     pinhole_radius: jnp.ndarray
     brightness: jnp.ndarray
+    model: object = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, sigma_exc=3.0, sigma_det=3.0, sigma_dep=3.0,
-               depletion=0.0, pinhole_radius=4.0, brightness=100.0):
+               depletion=0.0, pinhole_radius=4.0, brightness=100.0,
+               model=None):
         return cls(_f(sigma_exc), _f(sigma_det), _f(sigma_dep),
-                   _f(depletion), _f(pinhole_radius), _f(brightness))
+                   _f(depletion), _f(pinhole_radius), _f(brightness),
+                   model=model)
 
 
 @struct.dataclass
@@ -200,6 +209,9 @@ class LineSTEDParams:
     * ``slit_halfwidth`` descanned slit half-width (pixels); only used by the
                         descanned engine, ignored by the rescanned engine.
     * ``brightness``    expected detected photons scale per scan step.
+    * ``model``         STATIC illumination-model override (see
+                        ``physics/models.py``; ``None`` = Gaussian line +
+                        ``sin^2`` stripe closed forms).
     """
 
     sigma_exc: jnp.ndarray
@@ -208,12 +220,15 @@ class LineSTEDParams:
     depletion: jnp.ndarray
     slit_halfwidth: jnp.ndarray
     brightness: jnp.ndarray
+    model: object = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
-               depletion=0.0, slit_halfwidth=4.0, brightness=100.0):
+               depletion=0.0, slit_halfwidth=4.0, brightness=100.0,
+               model=None):
         return cls(_f(sigma_exc), _f(sigma_det), _f(stripe_period),
-                   _f(depletion), _f(slit_halfwidth), _f(brightness))
+                   _f(depletion), _f(slit_halfwidth), _f(brightness),
+                   model=model)
 
 
 # The rescanned engine shares the line physics; alias for API clarity.

@@ -18,9 +18,14 @@ from rescan_line_sted_tpu.imaging.boundary import (  # noqa: F401
     acquire_padded,
     apodize_sample,
 )
-from rescan_line_sted_tpu.imaging.rescan import optimal_rescan_factor  # noqa: F401
+from rescan_line_sted_tpu.imaging.rescan import (  # noqa: F401
+    optimal_rescan_factor,
+    practical_rescan_factor,
+    rescan_kernel_sigma,
+)
 from rescan_line_sted_tpu.imaging.rescan_point import (  # noqa: F401
     optimal_rescan_factor_point,
+    practical_rescan_factor_point,
     rescan_point_canvas_mean,
     rescan_point_system_kernel,
     rescanned_point_sted_image,

@@ -53,6 +53,7 @@ from rescan_line_sted_tpu.config import (
 )
 from rescan_line_sted_tpu.imaging.shifts import flip_centered
 from rescan_line_sted_tpu.kernels import fftconv
+from rescan_line_sted_tpu.physics import models
 from rescan_line_sted_tpu.physics import psf as psfs
 
 from rescan_line_sted_tpu.config import matmul_precision
@@ -70,9 +71,7 @@ def point_system_kernel(
     ``K = psf_eff . (pinhole (*) psf_det)``; the noise-free image is
     ``brightness * corr(sample, K)``.
     """
-    exc = psfs.gaussian_psf(shape, params.sigma_exc)
-    dep = psfs.donut_psf(shape, params.sigma_dep)
-    eff = psfs.effective_psf(exc, dep, params.depletion)
+    eff = models.effective_point_psf(shape, params)
     det = psfs.detection_psf(shape, params.sigma_det)
     pin = psfs.pinhole_mask(shape, params.pinhole_radius)
     return eff * fftconv.fft_convolve(pin, det)
@@ -87,9 +86,7 @@ def line_system_kernel(
     integrates camera columns and detection keeps row resolution.
     """
     h, w = shape
-    exc = psfs.line_excitation_profile(w, params.sigma_exc)
-    dep = psfs.stripe_depletion_profile(w, params.stripe_period)
-    eff = psfs.effective_psf(exc, dep, params.depletion)
+    eff = models.effective_line_profile(w, params)
     det = psfs.detection_psf(shape, params.sigma_det)
     slit = psfs.slit_profile(w, params.slit_halfwidth)
     # 1D circular convolution of each det row with the centered slit.
@@ -137,9 +134,7 @@ def rescan_x_kernels_rfft(
     hc, wc = geom.canvas_shape
     kk = np.arange(wc // 2 + 1, dtype=np.float64)
 
-    exc = psfs.line_excitation_profile(w, params.sigma_exc)
-    dep = psfs.stripe_depletion_profile(w, params.stripe_period)
-    eff = psfs.effective_psf(exc, dep, params.depletion)
+    eff = models.effective_line_profile(w, params)
     det_x = psfs.detection_profile(w, params.sigma_det)
 
     # d_rho[X] = sum_j det_x[(b X + j - rho) % w], all rho at once. [b, w/b]

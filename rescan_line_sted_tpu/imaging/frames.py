@@ -21,6 +21,7 @@ from rescan_line_sted_tpu.config import (
 from rescan_line_sted_tpu.imaging.line_sted import effective_line_profile
 from rescan_line_sted_tpu.imaging.shifts import shifted_images, shifted_profiles
 from rescan_line_sted_tpu.kernels import fftconv
+from rescan_line_sted_tpu.physics import models
 from rescan_line_sted_tpu.physics import psf as psfs
 from rescan_line_sted_tpu.physics.noise import maybe_poisson
 
@@ -53,9 +54,7 @@ def point_sted_camera_frames(
 ) -> jnp.ndarray:
     """Camera frames [C, H, W] at the given (y, x) scan positions."""
     shape = geom.grid.shape
-    exc = psfs.gaussian_psf(shape, params.sigma_exc)
-    dep = psfs.donut_psf(shape, params.sigma_dep)
-    eff = psfs.effective_psf(exc, dep, params.depletion)
+    eff = models.effective_point_psf(shape, params)
     det_otf = fftconv.kernel_to_otf(psfs.detection_psf(shape, params.sigma_det))
     ill = shifted_images(eff, jnp.asarray(positions_yx))
     mean = params.brightness * fftconv.convolve_otf(ill * sample, det_otf)

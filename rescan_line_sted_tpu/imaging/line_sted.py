@@ -98,10 +98,14 @@ def line_sted_image(
 
 
 def effective_line_profile(width: int, params: LineSTEDParams) -> jnp.ndarray:
-    """Centered 1D effective (depleted) excitation line profile, [W]."""
-    exc = psfs.line_excitation_profile(width, params.sigma_exc)
-    dep = psfs.stripe_depletion_profile(width, params.stripe_period)
-    return psfs.effective_psf(exc, dep, params.depletion)
+    """Centered 1D effective (depleted) excitation line profile, [W].
+
+    Built through ``params.model`` (physics/models.py pluggable-generator
+    seam; None = Gaussian line + sin^2 stripe closed forms).
+    """
+    from rescan_line_sted_tpu.physics import models
+
+    return models.effective_line_profile(width, params)
 
 
 def _analytic(sample, params, geom, key):
@@ -172,7 +176,7 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
     if on_tpu and vmem_ok and slit_fits and use_pallas is not False:
         from rescan_line_sted_tpu.kernels.line_fused import line_sted_fused
 
-        seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+        seed = jax.random.randint(key, (2,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         return line_sted_fused(sample_y, params.brightness * eff, gx_mat,
                                slit, seed, slit_support=slit_support,

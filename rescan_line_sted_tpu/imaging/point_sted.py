@@ -24,6 +24,7 @@ from rescan_line_sted_tpu.config import PointSTEDGeometry, PointSTEDParams
 from rescan_line_sted_tpu.imaging import analytic
 from rescan_line_sted_tpu.imaging.shifts import shifted_images
 from rescan_line_sted_tpu.kernels import fftconv
+from rescan_line_sted_tpu.physics import models
 from rescan_line_sted_tpu.physics import psf as psfs
 from rescan_line_sted_tpu.physics.dose import DoseReport, point_sted_dose
 from rescan_line_sted_tpu.physics.noise import maybe_poisson
@@ -107,9 +108,7 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
     n_chunks = num_steps // chunk
     per_step = key is not None and noise_mode == "per_step"
 
-    exc = psfs.gaussian_psf(shape, params.sigma_exc)
-    dep = psfs.donut_psf(shape, params.sigma_dep)
-    eff = psfs.effective_psf(exc, dep, params.depletion)
+    eff = models.effective_point_psf(shape, params)
     det = psfs.detection_psf(shape, params.sigma_det)
     pin = psfs.pinhole_mask(shape, params.pinhole_radius)
 

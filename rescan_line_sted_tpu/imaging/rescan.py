@@ -95,6 +95,12 @@ def rescanned_line_sted_image(
     only) controls frame placement; see the module doc for the noise-mode
     semantics of each. ``boundary``: ``"circular"`` or ``"padded"`` (open
     boundary via pad-acquire-crop; dose reported for the requested field).
+
+    Spatial sharding (multi-chip): with ``sample`` sharded over a mesh
+    "space" axis pass ``use_pallas=False`` -- the fused Pallas megakernel
+    assumes a single-device layout (GSPMD would all-gather around it),
+    while the XLA scan/analytic paths shard cleanly (parity-tested on the
+    virtual mesh in tests/test_mesh.py and the driver dryrun).
     """
     if boundary == "apodized":
         # raised-cosine taper to zero at the edges: kills wrap artifacts
@@ -147,12 +153,75 @@ def optimal_rescan_factor(params: RescanParams, width: int) -> jnp.ndarray:
     the more each photon's position should collapse toward the scan
     position. R = 2 exactly when the effective line width equals the
     detection width (classic rescan confocal).
+
+    CAUTION: this is the exact information-theoretic optimum, and strong
+    depletion collapses ``sigma_ill_eff`` so hard that it can return R ~ 11+
+    (an 11x-wide canvas per acquisition) for a resolution gain that is
+    marginal beyond R ~ 2-4 -- the variance curve is very flat near its
+    minimum. Use ``practical_rescan_factor`` for an operating point; this
+    function deliberately does not cap.
     """
     from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
 
     eff = effective_line_profile(width, params)
     sigma_ill = fwhm_1d(eff) / 2.3548200450309493
     return 1.0 + jnp.square(params.sigma_det) / jnp.square(sigma_ill)
+
+
+def rescan_kernel_sigma(params: RescanParams, width: int,
+                        factors: jnp.ndarray) -> jnp.ndarray:
+    """Reassigned-kernel width (sigma, sample px) vs rescan factor.
+
+    On the magnification-corrected grid (canvas / R), a photon from an
+    emitter at 0 lands at ``u/R = x0 (1 - 1/R) + x/R`` with scan position
+    ``x0 ~ sigma_ill_eff`` and camera position ``x ~ sigma_det``, so
+
+        sigma^2(R) = sigma_ill^2 (1 - 1/R)^2 + sigma_det^2 / R^2
+
+    -- minimized exactly at ``optimal_rescan_factor`` and very flat around
+    it. This is the marginal-gain curve behind ``practical_rescan_factor``;
+    broadcast over ``factors``.
+    """
+    from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
+
+    eff = effective_line_profile(width, params)
+    sigma_ill = fwhm_1d(eff) / 2.3548200450309493
+    t = 1.0 / jnp.asarray(factors, jnp.float32)
+    return jnp.sqrt(jnp.square(sigma_ill) * jnp.square(1.0 - t)
+                    + jnp.square(params.sigma_det) * jnp.square(t))
+
+
+def practical_rescan_factor(params: RescanParams, width: int,
+                            tolerance: float = 0.05,
+                            cap: float | None = None) -> jnp.ndarray:
+    """Smallest rescan factor within ``tolerance`` of the optimal resolution.
+
+    The exact optimum (``optimal_rescan_factor``) sits on a very flat
+    variance curve: accepting a ``tolerance`` (default 5%) broader
+    reassigned kernel typically shrinks R -- and the canvas -- severalfold.
+    Solving ``sigma^2(R) = (1 + tolerance)^2 * sigma^2(R_opt)`` (see
+    ``rescan_kernel_sigma``) for the smaller root in closed form:
+
+        t = [s_i^2 + sqrt(s_i^4 - (s_i^2 + s_d^2)(s_i^2 - target))]
+            / (s_i^2 + s_d^2),                R = 1 / t
+
+    with ``target = (1+tol)^2 * s_i^2 s_d^2 / (s_i^2 + s_d^2)``. ``cap``
+    additionally clamps the recommendation (R = 1 means no magnification;
+    the result never exceeds the exact optimum). Jittable; returns a scalar.
+    """
+    from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
+
+    eff = effective_line_profile(width, params)
+    sigma_ill = fwhm_1d(eff) / 2.3548200450309493
+    si2 = jnp.square(sigma_ill)
+    sd2 = jnp.square(params.sigma_det)
+    target = (1.0 + tolerance) ** 2 * si2 * sd2 / (si2 + sd2)
+    disc = jnp.maximum(si2 * si2 - (si2 + sd2) * (si2 - target), 0.0)
+    t = (si2 + jnp.sqrt(disc)) / (si2 + sd2)
+    r = jnp.maximum(1.0 / jnp.maximum(t, 1e-12), 1.0)
+    if cap is not None:
+        r = jnp.minimum(r, cap)
+    return r
 
 
 def _analytic(sample, params, geom, key):
@@ -225,7 +294,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
         seed = None
         if per_step:
-            seed = jax.random.randint(key, (1,), 0,
+            seed = jax.random.randint(key, (2,), 0,
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
         canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,

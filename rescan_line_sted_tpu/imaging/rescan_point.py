@@ -78,10 +78,14 @@ _PRECISION = matmul_precision()
 
 def effective_point_psf(shape: tuple[int, int],
                         params: PointSTEDParams) -> jnp.ndarray:
-    """Centered depleted point illumination ``exc * exp(-s * donut)``."""
-    exc = psfs.gaussian_psf(shape, params.sigma_exc)
-    dep = psfs.donut_psf(shape, params.sigma_dep)
-    return psfs.effective_psf(exc, dep, params.depletion)
+    """Centered depleted point illumination ``exc * exp(-s * dep)``.
+
+    Built through ``params.model`` (physics/models.py pluggable-generator
+    seam; None = Gaussian excitation + ``u e^{1-u}`` donut closed forms).
+    """
+    from rescan_line_sted_tpu.physics import models
+
+    return models.effective_point_psf(shape, params)
 
 
 def optimal_rescan_factor_point(params: PointSTEDParams,
@@ -105,6 +109,32 @@ def optimal_rescan_factor_point(params: PointSTEDParams,
     eff = effective_point_psf((size, size), params)
     sigma_ill = fwhm_1d(eff[size // 2]) / 2.3548200450309493
     return 1.0 + jnp.square(params.sigma_det) / jnp.square(sigma_ill)
+
+
+def practical_rescan_factor_point(params: PointSTEDParams, size: int,
+                                  tolerance: float = 0.05,
+                                  cap: float | None = None) -> jnp.ndarray:
+    """Smallest 2D rescan factor within ``tolerance`` of optimal resolution.
+
+    The isotropic analog of ``imaging/rescan.py:practical_rescan_factor``
+    (same closed form -- the reassigned-kernel variance
+    ``s_i^2 (1-1/R)^2 + s_d^2 / R^2`` applies per axis); see there for the
+    derivation. Recommended operating point for ISM acquisitions where the
+    exact optimum's R x field canvas is impractical.
+    """
+    from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
+
+    eff = effective_point_psf((size, size), params)
+    sigma_ill = fwhm_1d(eff[size // 2]) / 2.3548200450309493
+    si2 = jnp.square(sigma_ill)
+    sd2 = jnp.square(params.sigma_det)
+    target = (1.0 + tolerance) ** 2 * si2 * sd2 / (si2 + sd2)
+    disc = jnp.maximum(si2 * si2 - (si2 + sd2) * (si2 - target), 0.0)
+    t = (si2 + jnp.sqrt(disc)) / (si2 + sd2)
+    r = jnp.maximum(1.0 / jnp.maximum(t, 1e-12), 1.0)
+    if cap is not None:
+        r = jnp.minimum(r, cap)
+    return r
 
 
 def rescanned_point_sted_image(

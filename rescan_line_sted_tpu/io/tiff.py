@@ -85,20 +85,32 @@ def array_to_tif(arr: np.ndarray, path: str, use_native: bool | None = None
             offset = next_ifd if next_ifd else offset
 
 
-# Tags tif_to_array consumes; these must be inline (count == 1) or the
-# reader rejects the file rather than decoding an offset as data.
-_CONSUMED_TAGS = frozenset({256, 257, 258, 259, 273, 339})
+# TIFF field types the reader can decode (type id -> (struct fmt, size)).
+_FIELD_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}  # BYTE, SHORT, LONG
 
 
-def _read_value(buf: bytes, typ: int, count: int, raw: bytes) -> int:
-    if typ == _TYPE_SHORT:
-        return struct.unpack("<H", raw[:2])[0]
-    return struct.unpack("<I", raw[:4])[0]
+def _read_values(buf: bytes, typ: int, count: int, raw: bytes):
+    """Decode a tag's value array, following the offset pointer when the
+    values don't fit the 4-byte inline field (e.g. multi-strip
+    StripOffsets/StripByteCounts from standard writers)."""
+    if typ not in _FIELD_TYPES:
+        return None  # RATIONAL etc.: not consumed by this reader
+    fmt, size = _FIELD_TYPES[typ]
+    total = size * count
+    if total > 4:
+        (ptr,) = struct.unpack("<I", raw[:4])
+        data = buf[ptr:ptr + total]
+    else:
+        data = raw[:total]
+    return list(struct.unpack("<" + fmt * count, data))
 
 
 def tif_to_array(path: str) -> np.ndarray:
-    """Read a TIFF written by :func:`array_to_tif` (and similar baseline
-    grayscale TIFFs). Returns ``[H, W]`` for single page, ``[N, H, W]`` else.
+    """Read a grayscale baseline TIFF: ours (:func:`array_to_tif`) or a
+    standard writer's (multi-strip StripOffsets/ByteCounts are followed and
+    concatenated). Uncompressed, single-sample-per-pixel, strip-organized
+    only; anything else is rejected rather than mis-decoded. Returns
+    ``[H, W]`` for single page, ``[N, H, W]`` else.
     """
     with open(path, "rb") as f:
         buf = f.read()
@@ -112,26 +124,38 @@ def tif_to_array(path: str) -> np.ndarray:
         for k in range(n_entries):
             base = ifd_off + 2 + 12 * k
             tag, typ, count = struct.unpack("<HHI", buf[base:base + 8])
-            if tag in _CONSUMED_TAGS and count != 1:
-                # count > 1 means the 4-byte value field holds a *pointer*
-                # to the data (e.g. multi-strip StripOffsets); decoding it
-                # inline would silently read garbage.
-                raise ValueError(
-                    f"TIFF tag {tag} has count={count}; only single-strip "
-                    "single-value baseline TIFFs are supported")
-            tags[tag] = _read_value(buf, typ, count, buf[base + 8:base + 12])
+            vals = _read_values(buf, typ, count, buf[base + 8:base + 12])
+            if vals is not None:
+                tags[tag] = vals
         (ifd_off,) = struct.unpack(
             "<I", buf[ifd_off + 2 + 12 * n_entries:][:4])
-        w, h = tags[256], tags[257]
-        bps = tags.get(258, 8)
-        fmt = tags.get(339, 1)
-        if tags.get(259, 1) != 1:
+        if 322 in tags or 323 in tags:
+            raise ValueError("tiled TIFFs not supported")
+        if tags.get(259, [1])[0] != 1:
             raise ValueError("compressed TIFFs not supported")
-        dtype = {(1, 8): np.uint8, (1, 16): np.uint16,
-                 (3, 32): np.float32, (3, 64): np.float64}[(fmt, bps)]
-        start = tags[273]
+        if tags.get(277, [1])[0] != 1:
+            raise ValueError("only 1 sample/pixel (grayscale) supported")
+        w, h = tags[256][0], tags[257][0]
+        bps_vals = tags.get(258, [8])
+        if len(set(bps_vals)) != 1:
+            raise ValueError("mixed per-sample bit depths not supported")
+        bps = bps_vals[0]
+        fmt = tags.get(339, [1])[0]
+        try:
+            dtype = {(1, 8): np.uint8, (1, 16): np.uint16,
+                     (3, 32): np.float32, (3, 64): np.float64}[(fmt, bps)]
+        except KeyError:
+            raise ValueError(
+                f"unsupported sample format/bit depth ({fmt}, {bps})")
+        offsets = tags[273]
         nbytes = h * w * np.dtype(dtype).itemsize
-        page = np.frombuffer(buf[start:start + nbytes], dtype=dtype)
+        counts = tags.get(279, [nbytes])
+        if len(offsets) != len(counts):
+            raise ValueError("StripOffsets/StripByteCounts length mismatch")
+        data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+        if len(data) < nbytes:
+            raise ValueError("truncated TIFF strip data")
+        page = np.frombuffer(data[:nbytes], dtype=dtype)
         pages.append(page.reshape(h, w))
     out = np.stack(pages)
     return out[0] if out.shape[0] == 1 else out

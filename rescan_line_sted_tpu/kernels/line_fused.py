@@ -63,7 +63,7 @@ def _line_kernel(seed_ref, eff_col_ref, slit_win_ref, slit_out_ref,
     cam_c = pltpu.roll(cam_t, (w // 2 - pos + w) % w, 0)
     lo = w // 2 - win // 2
     if noisy:
-        pltpu.prng_seed(seed_ref[0] + pos * n_tiles + t)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + pos * n_tiles + t)
         samp_scratch[...] = sample_poisson(cam_c[lo:lo + win, :],
                                            batched=True)
         row = (jnp.sum(samp_scratch[...] * slit_win_ref[...], axis=0)
@@ -87,7 +87,7 @@ def line_sted_fused(sample_y: jnp.ndarray, eff_scaled: jnp.ndarray,
     sample_y: [H, W] y-convolved sample; eff_scaled: [W] centered
     brightness-scaled effective excitation profile; gx_mat: [W, W] circulant
     of the detection x-profile (``cam = emitted @ gx_mat``); slit: [W]
-    centered slit profile; seed: [1] int32 PRNG seed for per-frame Poisson
+    centered slit profile; seed: [2] int32 PRNG seed for per-frame Poisson
     draws (None = noise-free). ``slit_support`` is the static sampled-window
     height; the slit must vanish outside the centered window or the
     out-of-window pixels contribute their noise-free mean (the wrapper in
@@ -107,7 +107,7 @@ def line_sted_fused(sample_y: jnp.ndarray, eff_scaled: jnp.ndarray,
     n_tiles = h // lane
     noisy = seed is not None
     if seed is None:
-        seed = jnp.zeros((1,), jnp.int32)
+        seed = jnp.zeros((2,), jnp.int32)
 
     lo = w // 2 - win // 2
     window = jnp.zeros((w,), jnp.float32).at[lo:lo + win].set(1.0)

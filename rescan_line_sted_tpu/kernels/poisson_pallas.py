@@ -142,7 +142,9 @@ def sample_poisson(lam: jnp.ndarray, batched: bool = False) -> jnp.ndarray:
         done = jnp.maximum(done, accept)
 
     out = jnp.where(lam < _CUT, small, large)
-    return jnp.where(lam > 0.0, out, 0.0)
+    # lam * 0.0 (not literal 0.0): propagates NaN rates instead of masking
+    # them to zero, so a poisoned frame is visible downstream.
+    return jnp.where(lam > 0.0, out, lam * 0.0)
 
 
 def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
@@ -163,10 +165,16 @@ def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
     * max < 10:   Knuth, 24 rounds (truncation < 5e-5, as sample_poisson);
     * else:       full Knuth+PTRS (exact branch selection per pixel).
 
-    Each tier seeds the hardware PRNG itself with ``seed``, so the result is
-    deterministic in (seed, chunk) regardless of which tier runs (the zero
-    tier's output is 0 either way -- bit-identical to running Bernoulli).
+    Each tier seeds the hardware PRNG itself with ``seed`` (a scalar or a
+    tuple of scalars -- tuples widen the effective seed space past 31 bits,
+    see ``pltpu.prng_seed``), so the result is deterministic in
+    (seed, chunk) regardless of which tier runs (the zero tier's output is 0
+    either way -- bit-identical to running Bernoulli). The bright tier is a
+    catch-all for non-finite max rates: a NaN lambda fails every ordered
+    comparison, and without the catch-all the block would be left unwritten
+    (uninitialized VMEM) instead of propagating the NaN.
     """
+    seeds = seed if isinstance(seed, tuple) else (seed,)
     mx = jnp.max(lam)
 
     @pl.when(mx <= 0.0)
@@ -175,27 +183,27 @@ def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
 
     @pl.when((mx > 0.0) & (mx < 1e-3))
     def _dark():
-        pltpu.prng_seed(seed)
+        pltpu.prng_seed(*seeds)
         out_ref[rows, :] = (_uniform(lam.shape) < lam).astype(jnp.float32)
 
     @pl.when((mx >= 1e-3) & (mx < 1.5))
     def _dim():
-        pltpu.prng_seed(seed)
+        pltpu.prng_seed(*seeds)
         out_ref[rows, :] = _knuth(lam, 10, batched=True)
 
     @pl.when((mx >= 1.5) & (mx < _CUT))
     def _mid():
-        pltpu.prng_seed(seed)
+        pltpu.prng_seed(*seeds)
         out_ref[rows, :] = _knuth(lam, _KNUTH_ROUNDS, batched=True)
 
-    @pl.when(mx >= _CUT)
+    @pl.when((mx >= _CUT) | jnp.isnan(mx))
     def _bright():
-        pltpu.prng_seed(seed)
+        pltpu.prng_seed(*seeds)
         out_ref[rows, :] = sample_poisson(lam, batched=True)
 
 
 def _poisson_kernel(seed_ref, lam_ref, out_ref):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
     out_ref[...] = sample_poisson(lam_ref[...])
 
 
@@ -237,7 +245,7 @@ def _poisson_rows_kernel(seed_ref, lam_ref, out_ref, *, cr: int):
     for k2 in range(n_sub):
         rows = slice(k2 * cr, (k2 + 1) * cr)
         store_poisson_tiered(out_ref, rows, lam_ref[rows, :],
-                             seed_ref[0] + base + k2)
+                             (seed_ref[0], seed_ref[1] + base + k2))
 
 
 @functools.partial(jax.jit,
@@ -292,9 +300,14 @@ def poisson_rows_tiered(key: jax.Array, lam: jnp.ndarray,
     if interpret:
         return jax.random.poisson(key, jnp.maximum(lam, 0.0)).astype(
             jnp.float32)
-    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+    # Two independent 31-bit words seed the hardware PRNG (prng_seed folds
+    # all arguments), so chunk-seed collisions need a ~2^62 coincidence, not
+    # the ~1e-5-per-acquisition chance a single 31-bit draw would give.
+    seed = jax.random.randint(key, (2,), 0, jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32)
-    lam = jnp.asarray(lam, jnp.float32)
+    # Clamp like the off-TPU fallback: band-limited means can carry tiny
+    # negative excursions and both backends must agree on them.
+    lam = jnp.maximum(jnp.asarray(lam, jnp.float32), 0.0)
     *lead, r, c = lam.shape
     lam2d = lam.reshape(-1, c)
     rows = lam2d.shape[0]
@@ -327,9 +340,9 @@ def poisson_pallas(key: jax.Array, lam: jnp.ndarray,
     if interpret:
         return jax.random.poisson(key, jnp.maximum(lam, 0.0)).astype(
             jnp.float32)
-    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+    seed = jax.random.randint(key, (2,), 0, jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32)
-    lam = jnp.asarray(lam, jnp.float32)
+    lam = jnp.maximum(jnp.asarray(lam, jnp.float32), 0.0)
     n = lam.size
     # Block at 128x1024 f32 (0.5 MB): the unrolled sampler keeps several
     # temporaries live per block and 256-row blocks brushed the 16 MB scoped

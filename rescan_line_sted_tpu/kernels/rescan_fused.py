@@ -85,7 +85,8 @@ def _fused_kernel(offsets_ref, seed_ref, eff_col_ref, sample_yt_ref,
             store_poisson_tiered(
                 frame_scratch, slice(k2 * cr, (k2 + 1) * cr),
                 cam_t[k2 * cr:(k2 + 1) * cr, :],
-                seed_ref[0] + (i * n_tiles + t) * n_chunks + k2)
+                (seed_ref[0],
+                 seed_ref[1] + (i * n_tiles + t) * n_chunks + k2))
     else:
         frame_scratch[:binned_w, :] = cam_t
 
@@ -110,7 +111,7 @@ def rescan_fused(sample_y: jnp.ndarray, eff_scaled: jnp.ndarray,
     of the detection x-profile (``cam = emitted @ gx_mat``); offsets: [W]
     int32 canvas column offsets (in binned pixels), one per scan position;
     ``binning`` sums camera pixels in b x b blocks before reassignment (two
-    extra in-kernel matmuls). ``seed`` ([1] int32) draws per-camera-frame
+    extra in-kernel matmuls). ``seed`` ([2] int32) draws per-camera-frame
     Poisson shot noise from the hardware PRNG inside the kernel (TPU only;
     the interpreter's PRNG yields zeros); None = noise-free canvas [H/b, wc].
     """
@@ -118,7 +119,7 @@ def rescan_fused(sample_y: jnp.ndarray, eff_scaled: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     noisy = seed is not None
     if seed is None:
-        seed = jnp.zeros((1,), jnp.int32)
+        seed = jnp.zeros((2,), jnp.int32)
     h, w = sample_y.shape
     b = binning
     n = offsets.shape[0]

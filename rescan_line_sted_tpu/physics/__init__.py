@@ -8,6 +8,12 @@ from rescan_line_sted_tpu.physics.psf import (  # noqa: F401
     pinhole_mask,
     slit_profile,
 )
+from rescan_line_sted_tpu.physics.models import (  # noqa: F401
+    EnvelopedStripeModel,
+    GaussianDonutModel,
+    GaussianStripeModel,
+    PupilDonutModel,
+)
 from rescan_line_sted_tpu.physics.noise import poisson_counts  # noqa: F401
 from rescan_line_sted_tpu.physics.dose import (  # noqa: F401
     DoseReport,

@@ -32,6 +32,7 @@ from rescan_line_sted_tpu.config import (
     RescanGeometry,
     RescanPointGeometry,
 )
+from rescan_line_sted_tpu.physics import models
 from rescan_line_sted_tpu.physics import psf as psfs
 
 
@@ -62,8 +63,9 @@ def point_sted_dose(
     geom: "PointSTEDGeometry | RescanPointGeometry",
 ) -> DoseReport:
     shape = geom.grid.shape
-    exc = psfs.gaussian_psf(shape, params.sigma_exc)
-    dep = psfs.donut_psf(shape, params.sigma_dep)
+    m = models.point_model(params)
+    exc = m.excitation(shape, params)
+    dep = m.depletion(shape, params)
     eff = psfs.effective_psf(exc, dep, params.depletion)
     return DoseReport(
         excitation_dose=jnp.sum(exc),
@@ -77,8 +79,9 @@ def line_sted_dose(
     params: LineSTEDParams, geom: LineSTEDGeometry | RescanGeometry
 ) -> DoseReport:
     w = geom.grid.width
-    exc = psfs.line_excitation_profile(w, params.sigma_exc)
-    dep = psfs.stripe_depletion_profile(w, params.stripe_period)
+    m = models.line_model(params)
+    exc = m.excitation(w, params)
+    dep = m.depletion(w, params)
     eff = psfs.effective_psf(exc, dep, params.depletion)
     return DoseReport(
         excitation_dose=jnp.sum(exc),

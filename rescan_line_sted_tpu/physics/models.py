@@ -1,0 +1,170 @@
+"""Pluggable illumination models (the PSF-generator seam).
+
+SURVEY.md:104-109 tags the reference's exact depletion-PSF constructions
+[M]/[L] ("make the generator pluggable"): the closed forms this engine
+defaults to (Gaussian excitation, ``u e^{1-u}`` donut, ``sin^2`` stripe --
+``physics/psf.py``) are physically standard but unverifiable against the
+empty reference mount. This module makes the generators swappable without
+touching ``physics/psf.py``: every engine builds illumination through the
+``model`` field of its params (``PointSTEDParams.model`` /
+``LineSTEDParams.model``), which defaults to the closed forms.
+
+Models are small **frozen dataclasses** (hashable, eq-comparable): they ride
+the params pytree as *static* leaves (``flax.struct.field(pytree_node=False)``),
+so jit specializes per model class+fields while the physics scalars stay
+traced/vmappable. A model's builders receive traced params and must be
+jittable; peak normalization is the engine-wide convention (physics/psf.py
+module doc).
+
+Provided alternatives prove the seam with real physics:
+
+* ``PupilDonutModel`` -- the STED donut as actually created in hardware: a
+  circular pupil with a charge-``m`` vortex phase mask ``e^{i m theta}``,
+  focused by FFT; the intensity ``|FFT(pupil)|^2`` has an exact on-axis zero
+  (the vortex) and Airy-like outer rings the analytic ``u e^{1-u}`` form
+  lacks. The aperture cutoff is calibrated so the first intensity ring sits
+  at ``r = sigma_dep * sqrt(2)`` -- the same ring radius as the default
+  donut, making the two forms drop-in comparable at equal ``sigma_dep``.
+* ``EnvelopedStripeModel`` -- the standing-wave stripe under a finite
+  Gaussian envelope (a real depletion line has finite extent; the pure
+  ``sin^2`` idealizes an infinite interference field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rescan_line_sted_tpu.physics import psf as psfs
+
+# First-intensity-ring radius of a charge-1 vortex-pupil donut with aperture
+# cutoff f_max (cycles/pixel): r_ring ~= _VORTEX_RING_CONST / f_max, measured
+# numerically (N-independent to <0.3% over N = 128..512).
+_VORTEX_RING_CONST = 0.3925
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "charge"))
+def _vortex_donut(sigma_dep, *, shape: tuple[int, int],
+                  charge: int) -> jnp.ndarray:
+    """``|FFT(circ(f<=f_max) e^{i m theta})|^2``, peak-normalized.
+
+    Module-level jit: the complex pupil chain is UNIMPLEMENTED in eager
+    mode on some TPU runtimes (the axon tunnel -- same pattern as
+    ``imaging/rescan_point.py``'s analytic wrappers); jitting here inlines
+    for free under an outer jit and keeps eager callers working.
+    """
+    h, w = shape
+    fy = jnp.fft.fftfreq(h).astype(jnp.float32)[:, None]
+    fx = jnp.fft.fftfreq(w).astype(jnp.float32)[None, :]
+    fr = jnp.sqrt(fy * fy + fx * fx)
+    theta = jnp.arctan2(fy, fx)
+    f_max = _VORTEX_RING_CONST / (jnp.sqrt(2.0) * sigma_dep)
+    f_max = jnp.minimum(f_max, 0.5)  # aperture cannot exceed Nyquist
+    # exclude the DC sample: the vortex phase is singular there and the
+    # lone unpaired discrete sample would break the exact on-axis null
+    # (every (k, -k) pair cancels; k = 0 has no partner)
+    mask = jnp.where((fr <= f_max) & (fr > 0.0), 1.0, 0.0)
+    pupil = jax.lax.complex(mask * jnp.cos(charge * theta),
+                            mask * jnp.sin(charge * theta))
+    field = jnp.fft.fftshift(jnp.fft.ifft2(pupil))
+    inten = jnp.square(jnp.abs(field))
+    return inten / jnp.maximum(jnp.max(inten), 1e-30)
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDonutModel:
+    """Default point-STED illumination: the closed forms of physics/psf.py
+    (Gaussian excitation, ``u e^{1-u}`` LG01-like donut)."""
+
+    def excitation(self, shape: tuple[int, int], params) -> jnp.ndarray:
+        return psfs.gaussian_psf(shape, params.sigma_exc)
+
+    def depletion(self, shape: tuple[int, int], params) -> jnp.ndarray:
+        return psfs.donut_psf(shape, params.sigma_dep)
+
+
+@dataclasses.dataclass(frozen=True)
+class PupilDonutModel:
+    """Physical vortex-phase pupil donut: ``|FFT(circ(f <= f_max) e^{i m
+    theta})|^2``, peak-normalized, with ``f_max`` chosen so the first
+    intensity ring lands at ``sigma_dep * sqrt(2)`` (matching
+    ``GaussianDonutModel`` at equal params). ``charge`` is the vortex
+    topological charge m (1 = LG01-like). Exact zero on axis for any m >= 1
+    (the pupil integral of ``e^{i m theta}`` vanishes by symmetry).
+    """
+
+    charge: int = 1
+
+    def excitation(self, shape: tuple[int, int], params) -> jnp.ndarray:
+        return psfs.gaussian_psf(shape, params.sigma_exc)
+
+    def depletion(self, shape: tuple[int, int], params) -> jnp.ndarray:
+        return _vortex_donut(params.sigma_dep, shape=tuple(shape),
+                             charge=self.charge)
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianStripeModel:
+    """Default line-STED illumination: Gaussian excitation line profile,
+    ``sin^2`` standing-wave depletion stripe (physics/psf.py)."""
+
+    def excitation(self, width: int, params) -> jnp.ndarray:
+        return psfs.line_excitation_profile(width, params.sigma_exc)
+
+    def depletion(self, width: int, params) -> jnp.ndarray:
+        return psfs.stripe_depletion_profile(width, params.stripe_period)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvelopedStripeModel:
+    """Standing-wave stripe under a finite Gaussian envelope of width
+    ``envelope_sigmas * stripe_period`` pixels -- a physical depletion line
+    has finite extent, so far-out stripe maxima carry less intensity than
+    the idealized infinite ``sin^2`` field. Peak-normalized at the first
+    maximum (``x = period/2``)."""
+
+    envelope_sigmas: float = 4.0
+
+    def excitation(self, width: int, params) -> jnp.ndarray:
+        return psfs.line_excitation_profile(width, params.sigma_exc)
+
+    def depletion(self, width: int, params) -> jnp.ndarray:
+        stripe = psfs.stripe_depletion_profile(width, params.stripe_period)
+        x = jnp.arange(width, dtype=jnp.float32) - (width // 2)
+        sig = self.envelope_sigmas * params.stripe_period
+        env = jnp.exp(-jnp.square(x) / (2.0 * jnp.square(sig)))
+        out = stripe * env
+        return out / jnp.maximum(jnp.max(out), 1e-30)
+
+
+DEFAULT_POINT_MODEL = GaussianDonutModel()
+DEFAULT_LINE_MODEL = GaussianStripeModel()
+
+
+def point_model(params):
+    """The illumination model of point-STED params (None -> default)."""
+    return getattr(params, "model", None) or DEFAULT_POINT_MODEL
+
+
+def line_model(params):
+    """The illumination model of line-STED params (None -> default)."""
+    return getattr(params, "model", None) or DEFAULT_LINE_MODEL
+
+
+def effective_point_psf(shape: tuple[int, int], params) -> jnp.ndarray:
+    """Depleted point illumination ``exc * exp(-s * dep)`` through the
+    params' model (the single construction point every point engine uses)."""
+    m = point_model(params)
+    return psfs.effective_psf(m.excitation(shape, params),
+                              m.depletion(shape, params), params.depletion)
+
+
+def effective_line_profile(width: int, params) -> jnp.ndarray:
+    """Depleted line-excitation profile through the params' model (the
+    single construction point every line engine uses)."""
+    m = line_model(params)
+    return psfs.effective_psf(m.excitation(width, params),
+                              m.depletion(width, params), params.depletion)

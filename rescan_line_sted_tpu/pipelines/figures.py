@@ -118,7 +118,8 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
                         fuse_orientations: bool = True,
                         fusion_iters: int = 30,
                         boundary: str = "circular",
-                        include_ism: bool = False) -> dict:
+                        include_ism: bool = False,
+                        frc: bool = False) -> dict:
     """Full dose-matched sweep with per-chunk checkpoint/resume.
 
     ``fuse_orientations`` (default on, the paper's protocol) reports the
@@ -126,7 +127,9 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     resolutions; see ``dose_matched_sweep``. ``boundary="padded"`` runs the
     whole sweep open-boundary (pad-acquire-crop). ``include_ism`` adds the
     beyond-reference rescanned-point (2D pixel reassignment) arm at the
-    point arm's dose.
+    point arm's dose. ``frc=True`` adds a second independent acquisition
+    per arm and reports the achieved-with-noise FRC resolution curves
+    (``*_frc_resolution`` in the curves npz and the resolution panel).
     """
     if boundary not in ("circular", "padded", "apodized"):
         raise ValueError(f"unknown boundary {boundary!r}")
@@ -162,14 +165,14 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
         orientations=orientations, rescan_geom=rgeom,
         fuse_orientations=fuse_orientations, fusion_iters=fusion_iters,
-        ism_geom=igeom))
+        ism_geom=igeom, frc=frc))
 
     ckpt = SweepCheckpoint(os.path.join(out_dir, "sweep_ckpt"))
     meta = dict(size=size, num_powers=num_powers, max_power=max_power,
                 dose_budget=dose_budget, seed=seed, chunk=chunk,
                 orientations=orientations,
                 fuse_orientations=fuse_orientations, boundary=boundary,
-                include_ism=include_ism)
+                include_ism=include_ism, frc=frc)
     stored = ckpt.read_meta()
     if stored and stored != meta and ckpt.completed():
         raise ValueError(
@@ -240,6 +243,17 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     if include_ism:
         curves["ism_fwhm_x"] = np.asarray(merged.ism.fwhm_x)
         curves["ism_fwhm_y"] = np.asarray(merged.ism.fwhm_y)
+    if frc:
+        curves["point_frc_resolution"] = np.asarray(
+            merged.point.frc_resolution)
+        curves["line_frc_resolution"] = np.asarray(
+            merged.line.frc_resolution)
+        if fuse_orientations:  # unfused rescan canvas: anisotropic, skipped
+            curves["rescan_frc_resolution"] = np.asarray(
+                merged.rescan.frc_resolution)
+        if include_ism:
+            curves["ism_frc_resolution"] = np.asarray(
+                merged.ism.frc_resolution)
     np.savez(os.path.join(out_dir, "dose_sweep_curves.npz"), **curves)
     panels = {
         "point_s0": merged.point.image[0],
@@ -265,6 +279,11 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
         if include_ism:
             ax1.plot(p, np.asarray(merged.ism.fwhm_x), ":",
                      label="rescanned point (ISM)")
+        if frc:
+            ax1.plot(p, np.asarray(merged.point.frc_resolution), "x-",
+                     alpha=0.6, label="point FRC (achieved)")
+            ax1.plot(p, np.asarray(merged.line.frc_resolution), "x-",
+                     alpha=0.6, label="line FRC (achieved)")
         ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
         ax1.legend(), ax1.set_title("resolution at matched dose")
         ax2.plot(p, np.asarray(merged.point.emitted_signal), label="point")
@@ -291,6 +310,11 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     }
     if include_ism:
         metrics["ism_fwhm_x_at_smax"] = float(merged.ism.fwhm_x[-1])
+    if frc:
+        metrics["point_frc_resolution_at_smax"] = float(
+            merged.point.frc_resolution[-1])
+        metrics["line_frc_resolution_at_smax"] = float(
+            merged.line.frc_resolution[-1])
     emit_metrics(metrics, os.path.join(out_dir, "metrics.jsonl"))
     return metrics
 
@@ -405,11 +429,16 @@ def fov_pipeline(out_dir: str, sizes: tuple[int, ...] = (128, 256, 512),
 
 
 def ism_pipeline(out_dir: str, size: int = 256, depletion: float = 8.0,
-                 rescan_factor: float = 2.0, seed: int = 0) -> dict:
+                 rescan_factor: float = 2.0, seed: int = 0,
+                 boundary: str = "padded") -> dict:
     """Rescanned POINT-STED (2D pixel reassignment / ISM; beyond-reference).
 
     Panels: descanned point-STED vs the ISM canvas at s=0 (classic rescan
     confocal, sqrt(2) gain) and at the requested depletion (rescan STED).
+    Default ``boundary="padded"``: the siemens-star sample reaches the field
+    edge, where the analytic canvas mean (unwrapped camera indices) and the
+    wrapping scan path disagree under a circular world -- pad-acquire-crop
+    keeps both exact (see ``imaging/rescan_point`` module doc).
     """
     from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
     from rescan_line_sted_tpu.config import PointSTEDParams, RescanPointGeometry
@@ -430,10 +459,13 @@ def ism_pipeline(out_dir: str, size: int = 256, depletion: float = 8.0,
     @jax.jit
     def run(key):
         ks = jax.random.split(key, 3)
-        descan = point_sted_image(sample, sted, pgeom, key=ks[0]).image
-        ism = rescanned_point_sted_image(sample, conf, rgeom, key=ks[1]).image
+        descan = point_sted_image(sample, sted, pgeom, key=ks[0],
+                                  boundary=boundary).image
+        ism = rescanned_point_sted_image(sample, conf, rgeom, key=ks[1],
+                                         boundary=boundary).image
         ism_sted = rescanned_point_sted_image(sample, sted, rgeom,
-                                              key=ks[2]).image
+                                              key=ks[2],
+                                              boundary=boundary).image
         kern_c = rescan_point_system_kernel(rgeom, conf)
         kern_s = rescan_point_system_kernel(rgeom, sted)
         hc = kern_c.shape[0] // 2

@@ -73,7 +73,7 @@ def _png_b64(images: list[np.ndarray], titles: list[str],
 
 
 def _curves_b64(powers, point_fx, line_fx, rescan_fx, psig, lsig,
-                ism_fx=None) -> str:
+                ism_fx=None, frc=None) -> str:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -84,6 +84,10 @@ def _curves_b64(powers, point_fx, line_fx, rescan_fx, psig, lsig,
     ax1.plot(powers, rescan_fx, "--", label="rescanned line STED (RL fused)")
     if ism_fx is not None:
         ax1.plot(powers, ism_fx, ":", label="rescanned point (ISM, RL)")
+    if frc is not None:  # achieved-with-noise FRC resolutions (1/7)
+        for name, curve in frc.items():
+            ax1.plot(powers, curve, "x", ms=4, alpha=0.6,
+                     label=f"{name} FRC (achieved)")
     ax1.set_xlabel("depletion power s"), ax1.set_ylabel("FWHM (px)")
     ax1.legend(fontsize=8), ax1.set_title("resolution at matched dose")
     ax2.plot(powers, psig, label="point")
@@ -167,7 +171,8 @@ def html_report(out_dir: str, size: int = 192, num_powers: int = 6,
     sweep = jax.jit(lambda p, k: dose_matched_sweep(
         sample, pbase, lbase, pgeom, lgeom, p, dose_budget, key=k,
         orientations=2, rescan_geom=rgeom, fuse_orientations=True,
-        fusion_iters=min(rl_iters, 30), ism_geom=igeom))(powers, key)
+        fusion_iters=min(rl_iters, 30), ism_geom=igeom,
+        frc=True))(powers, key)
     powers_np = np.asarray(powers)
 
     frames1, labels1 = [], []
@@ -215,7 +220,9 @@ def html_report(out_dir: str, size: int = 192, num_powers: int = 6,
         np.asarray(sweep.line.fwhm_x), np.asarray(sweep.rescan.fwhm_x),
         np.asarray(sweep.point.emitted_signal),
         np.asarray(sweep.line.emitted_signal),
-        ism_fx=np.asarray(sweep.ism.fwhm_x))
+        ism_fx=np.asarray(sweep.ism.fwhm_x),
+        frc={"point": np.asarray(sweep.point.frc_resolution),
+             "line": np.asarray(sweep.line.frc_resolution)})
 
     html = f"""<!DOCTYPE html>
 <html lang="en"><head><meta charset="utf-8"/>
@@ -261,7 +268,10 @@ dose-matched exposure.</p>
 <h2>4. Resolution / signal tradeoff</h2>
 <div class="figure"><img src="{curves}" alt="curves"/>
 <p class="caption">Achieved (post-RL-fusion) point-response FWHM and
-emitted signal vs depletion power at matched photodose.</p></div>
+emitted signal vs depletion power at matched photodose. The x markers are
+data-driven Fourier-Ring-Correlation resolutions (1/7 criterion) from two
+independent noisy acquisitions -- the achieved-with-noise counterpart to
+the kernel curves.</p></div>
 </body></html>
 """
     path = os.path.join(out_dir, "index.html")

@@ -46,6 +46,10 @@ class ModalitySweep:
     emitted_signal: jnp.ndarray  # [B] expected emitted photons (whole image)
     exposure: jnp.ndarray        # [B] dwell scale that meets the budget
     num_steps: jnp.ndarray       # [B] scan positions per acquisition
+    # [B] achieved-with-noise resolution (sample px) from two-independent-
+    # acquisition Fourier Ring Correlation (algorithms/frc.py, 1/7
+    # criterion); None unless the sweep ran with frc=True
+    frc_resolution: jnp.ndarray | None = None
 
 
 @struct.dataclass
@@ -72,6 +76,8 @@ def dose_matched_sweep(
     fuse_orientations: bool = False,
     fusion_iters: int = 30,
     ism_geom=None,
+    fusion_accelerate: bool = False,
+    frc: bool = False,
 ) -> DoseMatchedComparison:
     """Run the full dose-matched comparison as one vmapped program.
 
@@ -97,7 +103,23 @@ def dose_matched_sweep(
     RL-restored point response (same protocol, ``fusion_iters`` iterations)
     -- instead of the raw system-kernel FWHM, so the fused line/rescan
     numbers are isotropic (fwhm_y ~ fwhm_x) at high depletion.
+
+    ``fusion_accelerate=True`` turns on Biggs-Andrews extrapolation in every
+    RL loop of the fused protocol (views, operator fusion, ISM deconvolve):
+    the same restoration error is reached in ~2-3x fewer ``fusion_iters``,
+    cutting the dominant per-sweep-point cost (each point pays the loop
+    twice: image + point-response).
+
+    ``frc=True`` (requires ``key``) acquires a SECOND independent noisy
+    realization per arm and reports the achieved-with-noise resolution via
+    two-acquisition Fourier Ring Correlation (``algorithms/frc.py``, 1/7
+    criterion) in each arm's ``frc_resolution`` column [sample px] -- the
+    data-driven counterpart to the kernel/point-response FWHM columns.
+    Arms whose images are anisotropically scaled (the unfused rescan
+    canvas) skip it; ISM's isotropic canvas is reported divided by R.
     """
+    if frc and key is None:
+        raise ValueError("frc=True needs a PRNG key (two noisy draws)")
     shape = point_geom.grid.shape
     powers = jnp.asarray(depletion_powers, jnp.float32)
     budget = jnp.asarray(dose_budget, jnp.float32)
@@ -122,7 +144,8 @@ def dose_matched_sweep(
             resolution.
             """
             views = jax.vmap(flip_centered)(kernels)
-            psf = richardson_lucy_views(views, kernels, num_iter=fusion_iters)
+            psf = richardson_lucy_views(views, kernels, num_iter=fusion_iters,
+                                        accelerate=fusion_accelerate)
             return fwhm_2d(psf)
 
     def one(s, kp, kl, kr, ki):
@@ -135,35 +158,54 @@ def dose_matched_sweep(
         pp_run = pp.replace(brightness=pp.brightness * exp_p)
         lp_run = lp.replace(brightness=lp.brightness * exp_l)
 
-        if fuse_orientations:
-            pkern = analytic.point_system_kernel(shape, pp)
-            pimg_raw = point_sted_image(sample, pp_run, point_geom,
-                                        key=kp).image
-            pimg = richardson_lucy_views(pimg_raw[None], pkern[None],
-                                         num_iter=fusion_iters)
-            p_fy, p_fx = fused_point_response(pkern[None])
+        pkern = analytic.point_system_kernel(shape, pp)
 
-            views, kernels = multi_orientation_line_sted(
-                sample, lp_run, line_geom, angles, key=kl)
-            limg = richardson_lucy_views(views, kernels,
-                                         num_iter=fusion_iters)
+        def acquire_point(k):
+            img = point_sted_image(sample, pp_run, point_geom, key=k).image
+            if fuse_orientations:
+                img = richardson_lucy_views(img[None], pkern[None],
+                                            num_iter=fusion_iters,
+                                            accelerate=fusion_accelerate)
+            return img
+
+        def acquire_line(k):
+            if fuse_orientations:
+                views, kernels = multi_orientation_line_sted(
+                    sample, lp_run, line_geom, angles, key=k)
+                img = richardson_lucy_views(views, kernels,
+                                            num_iter=fusion_iters,
+                                            accelerate=fusion_accelerate)
+                return img, kernels
+            return line_sted_image(sample, lp_run, line_geom,
+                                   key=k).image, None
+
+        pimg = acquire_point(kp)
+        limg, kernels = acquire_line(kl)
+        if fuse_orientations:
+            p_fy, p_fx = fused_point_response(pkern[None])
             l_fy, l_fx = fused_point_response(kernels)
         else:
-            pimg = point_sted_image(sample, pp_run, point_geom, key=kp).image
-            limg = line_sted_image(sample, lp_run, line_geom, key=kl).image
-
-            p_fy, p_fx = fwhm_2d(analytic.point_system_kernel(shape, pp))
+            p_fy, p_fx = fwhm_2d(pkern)
             l_fy, l_fx = fwhm_2d(analytic.line_system_kernel(shape, lp))
 
+        p_frc = l_frc = None
+        if frc:
+            from rescan_line_sted_tpu.algorithms.frc import frc_resolution
+
+            p_frc = frc_resolution(pimg, acquire_point(
+                jax.random.fold_in(kp, 1)))
+            l_frc = frc_resolution(limg, acquire_line(
+                jax.random.fold_in(kl, 1))[0])
+
         point_res = ModalitySweep(
-            image=pimg, fwhm_x=p_fx, fwhm_y=p_fy,
+            image=pimg, fwhm_x=p_fx, fwhm_y=p_fy, frc_resolution=p_frc,
             emitted_signal=(pp.brightness * exp_p
                             * pdose.emission_per_unit_sample * sample_sum),
             exposure=exp_p,
             num_steps=pdose.num_steps,
         )
         line_res = ModalitySweep(
-            image=limg, fwhm_x=l_fx, fwhm_y=l_fy,
+            image=limg, fwhm_x=l_fx, fwhm_y=l_fy, frc_resolution=l_frc,
             emitted_signal=(lp.brightness * exp_l * orientations
                             * ldose.emission_per_unit_sample * sample_sum),
             exposure=exp_l,
@@ -181,24 +223,37 @@ def dose_matched_sweep(
             from rescan_line_sted_tpu.physics.noise import maybe_poisson
 
             r_ism = ism_geom.rescan_factor
-            iimg = maybe_poisson(
-                ki, rescan_point_canvas_mean(sample, pp_run, ism_geom))
+
+            def acquire_ism(k):
+                img = maybe_poisson(
+                    k, rescan_point_canvas_mean(sample, pp_run, ism_geom))
+                if fuse_orientations:
+                    # apples-to-apples with the fused arms: deconvolve with
+                    # the same iteration count (ISM is isotropic -- one view)
+                    img = ism_deconvolve(img, pp_run, ism_geom,
+                                         num_iter=fusion_iters,
+                                         accelerate=fusion_accelerate)
+                return img
+
+            iimg = acquire_ism(ki)
             if fuse_orientations:
-                # apples-to-apples with the fused arms: deconvolve with the
-                # same iteration count (ISM is isotropic -- one view)
-                iimg = ism_deconvolve(iimg, pp_run, ism_geom,
-                                      num_iter=fusion_iters)
                 delta = jnp.zeros(shape, jnp.float32).at[
                     shape[0] // 2, shape[1] // 2].set(1.0)
                 ipsf = ism_deconvolve(
                     rescan_point_canvas_mean(delta, pp, ism_geom), pp,
-                    ism_geom, num_iter=fusion_iters)
+                    ism_geom, num_iter=fusion_iters,
+                    accelerate=fusion_accelerate)
                 i_fy, i_fx = fwhm_2d(ipsf)
             else:
                 i_fy, i_fx = fwhm_2d(
                     rescan_point_system_kernel(ism_geom, pp))
+            i_frc = None
+            if frc:
+                # isotropic R-magnified canvas: report in sample px
+                i_frc = frc_resolution(iimg, acquire_ism(
+                    jax.random.fold_in(ki, 1))) / r_ism
             ism_res = ModalitySweep(
-                image=iimg,
+                image=iimg, frc_resolution=i_frc,
                 fwhm_x=i_fx / r_ism, fwhm_y=i_fy / r_ism,
                 emitted_signal=point_res.emitted_signal,
                 exposure=exp_p,
@@ -216,10 +271,15 @@ def dose_matched_sweep(
             angles_static = tuple(
                 v * 3.141592653589793 / orientations
                 for v in range(orientations))
-            canv = multi_orientation_rescan(sample, lp_run, rescan_geom,
-                                            angles, key=kr)
-            rimg = rescan_fusion(canv, lp_run, rescan_geom, angles_static,
-                                 num_iter=fusion_iters)
+
+            def acquire_rescan_fused(k):
+                canv = multi_orientation_rescan(sample, lp_run, rescan_geom,
+                                                angles, key=k)
+                return rescan_fusion(canv, lp_run, rescan_geom,
+                                     angles_static, num_iter=fusion_iters,
+                                     accelerate=fusion_accelerate)
+
+            rimg = acquire_rescan_fused(kr)
             # achieved fused resolution: restore a point source's canvases
             # through the same operator RL (already on the sample grid)
             delta = jnp.zeros(shape, jnp.float32).at[
@@ -227,10 +287,15 @@ def dose_matched_sweep(
             pviews = multi_orientation_rescan(delta, lp_run, rescan_geom,
                                               angles)
             rpsf = rescan_fusion(pviews, lp_run, rescan_geom, angles_static,
-                                 num_iter=fusion_iters)
+                                 num_iter=fusion_iters,
+                                 accelerate=fusion_accelerate)
             r_fy, r_fx = fwhm_2d(rpsf)
+            r_frc = None
+            if frc:
+                r_frc = frc_resolution(rimg, acquire_rescan_fused(
+                    jax.random.fold_in(kr, 1)))
             rescan_res = ModalitySweep(
-                image=rimg, fwhm_x=r_fx, fwhm_y=r_fy,
+                image=rimg, fwhm_x=r_fx, fwhm_y=r_fy, frc_resolution=r_frc,
                 emitted_signal=line_res.emitted_signal,
                 exposure=exp_l,
                 num_steps=ldose.num_steps * orientations,

@@ -42,6 +42,8 @@ def enable_compilation_cache(path: str | None = None,
     if env is not None:
         if env:
             jax.config.update("jax_compilation_cache_dir", env)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              min_compile_secs)
         return env
     if path is None:
         path = os.path.join(

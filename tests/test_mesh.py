@@ -145,3 +145,58 @@ def test_orientation_sharded_fusion():
     fused = richardson_lucy_views(views, kernels, num_iter=10)
     np.testing.assert_allclose(np.asarray(fused_s), np.asarray(fused),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_spatially_sharded_rescan_scan_path():
+    """Flagship modality under spatial sharding (VERDICT r2 item 2): the
+    rescan engine's canvas-grid SCAN path with the sample's rows sharded
+    over 'space'; parity against the replicated result, and the per-step
+    noisy path executes sharded too."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    geom = RescanGeometry(Grid(*SHAPE), rescan_factor=2.0, chunk=16)
+    params = replicate(mesh, LBASE.replace(depletion=jnp.float32(4.0)))
+    sample = jax.device_put(SAMPLE, NamedSharding(mesh, P("space", None)))
+    got = jax.jit(lambda s, p: rescanned_line_sted_image(
+        s, p, geom, method="scan").image)(sample, params)
+    want = rescanned_line_sted_image(
+        SAMPLE, LBASE.replace(depletion=jnp.float32(4.0)), geom,
+        method="scan").image
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+    # camera-faithful per-step noise also executes under the sharded sample
+    noisy = jax.jit(lambda s, p, k: rescanned_line_sted_image(
+        s, p, geom, key=k, method="scan", noise_mode="per_step").image)(
+        sample, params, jax.random.key(0))
+    assert np.isfinite(np.asarray(noisy)).all()
+    assert noisy.shape == geom.canvas_shape
+
+
+def test_spatially_sharded_rescan_fusion():
+    """Operator-form rescan fusion with the canvases' rows sharded over
+    'space' (VERDICT r2 item 2): the exact-adjoint RL loop runs under GSPMD
+    and matches the unsharded fusion."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.algorithms.fusion import (
+        multi_orientation_rescan,
+        rescan_fusion,
+    )
+    from rescan_line_sted_tpu.config import RescanGeometry, RescanParams
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    geom = RescanGeometry(Grid(*SHAPE), rescan_factor=2.0, chunk=16)
+    params = RescanParams.create(depletion=4.0, brightness=100.0)
+    angles = (0.0, float(np.pi / 2))
+    canv = multi_orientation_rescan(SAMPLE, params, geom, list(angles))
+    canv_s = jax.device_put(
+        canv, NamedSharding(mesh, P(None, "space", None)))
+    got = jax.jit(lambda c: rescan_fusion(
+        c, params, geom, angles, num_iter=10))(canv_s)
+    want = rescan_fusion(canv, params, geom, angles, num_iter=10)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)

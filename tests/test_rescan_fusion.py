@@ -137,3 +137,51 @@ def test_rescan_fusion_with_binning_and_fractional_R():
     assert np.isfinite(est).all()
     corr = np.corrcoef(est.ravel(), sample.ravel())[0, 1]
     assert corr > 0.7
+
+
+def test_operator_rl_accelerated_converges_faster():
+    """Biggs-Andrews on the operator loop: fewer iterations reach the plain
+    loop's restoration error (VERDICT r2 item 7)."""
+    sample = _masked_sample()
+    angles = [0.0, np.pi / 2]
+    canvases = multi_orientation_rescan(sample, PARAMS, GEOM, angles)
+    s = np.asarray(sample)
+    sl = (slice(12, 36), slice(12, 36))
+
+    def err(est):
+        e = np.asarray(est)[sl] - s[sl]
+        return float(np.linalg.norm(e) / np.linalg.norm(s[sl]))
+
+    plain = rescan_fusion(canvases, PARAMS, GEOM, angles, num_iter=80)
+    accel = rescan_fusion(canvases, PARAMS, GEOM, angles, num_iter=40,
+                          accelerate=True)
+    assert np.isfinite(np.asarray(accel)).all()
+    assert (np.asarray(accel) >= 0).all()
+    # half the iterations, at-least-matching restoration error (small slack
+    # for the extrapolation's non-monotone steps)
+    assert err(accel) <= err(plain) * 1.05
+
+
+def test_practical_rescan_factor():
+    from rescan_line_sted_tpu.imaging.rescan import (
+        optimal_rescan_factor,
+        practical_rescan_factor,
+        rescan_kernel_sigma,
+    )
+
+    p_sted = RescanParams.create(sigma_exc=4.0, sigma_det=4.0,
+                                 stripe_period=16.0, depletion=30.0)
+    r_opt = float(optimal_rescan_factor(p_sted, 128))
+    r_prac = float(practical_rescan_factor(p_sted, 128))
+    # the variance curve is flat near its optimum: the practical point is
+    # well below the optimum but within the 5% resolution tolerance
+    assert 1.0 < r_prac < r_opt
+    s_opt = float(rescan_kernel_sigma(p_sted, 128, r_opt))
+    s_prac = float(rescan_kernel_sigma(p_sted, 128, r_prac))
+    assert s_prac <= s_opt * 1.05 + 1e-6
+    assert s_prac >= s_opt - 1e-6  # optimum really is the minimum
+    # cap clamps
+    assert float(practical_rescan_factor(p_sted, 128, cap=2.0)) == 2.0
+    # tighter tolerance -> recommendation moves toward the optimum
+    r_tight = float(practical_rescan_factor(p_sted, 128, tolerance=0.005))
+    assert r_prac < r_tight <= r_opt + 1e-6

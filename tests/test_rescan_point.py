@@ -220,3 +220,15 @@ def test_padded_boundary_2d_crop():
                                                  method="analytic").image)
     assert circ[-2:].sum() > 1e3 * max(canvas[-2:].sum(), 1e-12)
     assert float(res.dose.num_steps) == n * n
+
+
+def test_practical_rescan_factor_point():
+    from rescan_line_sted_tpu.imaging.rescan_point import (
+        practical_rescan_factor_point,
+    )
+
+    p8 = PointSTEDParams.create(depletion=8.0)
+    r_opt = float(optimal_rescan_factor_point(p8, 64))
+    r_prac = float(practical_rescan_factor_point(p8, 64))
+    assert 1.0 < r_prac < r_opt
+    assert float(practical_rescan_factor_point(p8, 64, cap=2.0)) == 2.0
