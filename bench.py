@@ -76,25 +76,31 @@ LINE_KW = dict(sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
                slit_halfwidth=4.0, brightness=1.0)
 
 
-def _amortized_image_s(make_image, sample, out_shape, n=10, seed_off=0):
+def _amortized_image_s(make_image, sample, params, out_shape, n=10,
+                       seed_off=0):
     """Device time per image: n iterations folded into ONE jitted program.
 
     Defeats both the tunnel's per-call dispatch overhead and its
     (executable, inputs) result memoization (fresh os.urandom-derived keys
-    every run).
+    every run). ``params`` is threaded as a jit ARGUMENT: closure params
+    are concrete, so tracing executes every PSF/circulant-construction op
+    EAGERLY through the remote-compile tunnel -- one tiny tunnel compile
+    per op, minutes of apparent "compile time" (docs/PERFORMANCE.md,
+    "Tracing with closure params").
     """
-    def many(s, keys):
+    def many(s, p, keys):
         def body(acc, k):
-            return acc + make_image(s, k), None
+            return acc + make_image(s, p, k), None
         out, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32), keys)
         return out
 
     f = jax.jit(many)
-    jax.block_until_ready(
-        f(sample, jax.random.split(jax.random.key(RUN_SEED + seed_off), n)))
+    jax.block_until_ready(f(
+        sample, params,
+        jax.random.split(jax.random.key(RUN_SEED + seed_off), n)))
     keys = jax.random.split(jax.random.key(RUN_SEED + seed_off + 1), n)
     t0 = time.perf_counter()
-    jax.block_until_ready(f(sample, keys))
+    jax.block_until_ready(f(sample, params, keys))
     return (time.perf_counter() - t0) / n
 
 
@@ -105,23 +111,24 @@ def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
     sample = samples.siemens_star((size, size))
     params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
 
-    fn = jax.jit(lambda s, k: line_sted_image(
-        s, params, geom, key=k, method="scan", noise_mode=noise_mode).image)
+    # params as a jit ARGUMENT (not a closure): see _amortized_image_s
+    fn = jax.jit(lambda s, p, k: line_sted_image(
+        s, p, geom, key=k, method="scan", noise_mode=noise_mode).image)
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(sample, jax.random.key(RUN_SEED)))
+    jax.block_until_ready(fn(sample, params, jax.random.key(RUN_SEED)))
     compile_s = time.perf_counter() - t0
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(sample, jax.random.key(RUN_SEED + 1 + i))
+        out = fn(sample, params, jax.random.key(RUN_SEED + 1 + i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
     dev_dt = _amortized_image_s(
-        lambda s, k: line_sted_image(s, params, geom, key=k, method="scan",
-                                     noise_mode=noise_mode).image,
-        sample, (size, size), seed_off=hash(noise_mode) % 1000)
+        lambda s, p, k: line_sted_image(s, p, geom, key=k, method="scan",
+                                        noise_mode=noise_mode).image,
+        sample, params, (size, size), seed_off=hash(noise_mode) % 1000)
     return size / dt, size / dev_dt, compile_s, dt
 
 
@@ -135,20 +142,21 @@ def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
     geom = RescanGeometry(grid, rescan_factor=2.0, chunk=32)
     sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
     params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
-    fn = jax.jit(lambda s, k: rescanned_line_sted_image(
-        s, params, geom, key=k, method="scan", noise_mode=noise_mode).image)
-    jax.block_until_ready(fn(sample, jax.random.key(RUN_SEED + 500)))
+    fn = jax.jit(lambda s, p, k: rescanned_line_sted_image(
+        s, p, geom, key=k, method="scan", noise_mode=noise_mode).image)
+    jax.block_until_ready(fn(sample, params, jax.random.key(RUN_SEED + 500)))
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(sample, jax.random.key(RUN_SEED + 501 + i))
+        out = fn(sample, params, jax.random.key(RUN_SEED + 501 + i))
     jax.block_until_ready(out)
     percall = SCAN_SIZE * iters / (time.perf_counter() - t0)
     dev_dt = _amortized_image_s(
-        lambda s, k: rescanned_line_sted_image(
-            s, params, geom, key=k, method="scan",
+        lambda s, p, k: rescanned_line_sted_image(
+            s, p, geom, key=k, method="scan",
             noise_mode=noise_mode).image,
-        sample, geom.canvas_shape, seed_off=600 + hash(noise_mode) % 100)
+        sample, params, geom.canvas_shape,
+        seed_off=600 + hash(noise_mode) % 100)
     return percall, SCAN_SIZE / dev_dt
 
 
@@ -164,10 +172,10 @@ def bench_fractional_rescan_per_step():
     sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
     params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
     dev_dt = _amortized_image_s(
-        lambda s, k: rescanned_line_sted_image(
-            s, params, geom, key=k, method="scan",
+        lambda s, p, k: rescanned_line_sted_image(
+            s, p, geom, key=k, method="scan",
             noise_mode="per_step").image,
-        sample, geom.canvas_shape, seed_off=900)
+        sample, params, geom.canvas_shape, seed_off=900)
     return SCAN_SIZE / dev_dt
 
 
@@ -185,9 +193,9 @@ def bench_fractional_rescan_analytic():
     geom = RescanGeometry(Grid(size, size), rescan_factor=r_opt, chunk=32)
     sample = samples.siemens_star((size, size))
     dev_dt = _amortized_image_s(
-        lambda s, k: rescanned_line_sted_image(
-            s, params, geom, key=k, method="analytic").image,
-        sample, geom.canvas_shape, seed_off=800)
+        lambda s, p, k: rescanned_line_sted_image(
+            s, p, geom, key=k, method="analytic").image,
+        sample, params, geom.canvas_shape, seed_off=800)
     return size / dev_dt, r_opt
 
 
@@ -199,9 +207,29 @@ def bench_large_fov_steps_per_sec(size: int = 2048):
     sample = samples.siemens_star((size, size))
     params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
     dev_dt = _amortized_image_s(
-        lambda s, k: line_sted_image(s, params, geom, key=k,
-                                     method="scan").image,
-        sample, (size, size), n=5, seed_off=700)
+        lambda s, p, k: line_sted_image(s, p, geom, key=k,
+                                        method="scan").image,
+        sample, params, (size, size), n=5, seed_off=700)
+    return size / dev_dt
+
+
+def bench_large_fov_per_step(size: int = 2048):
+    """Camera-faithful per-step noise at large width: the banded windowed
+    hybrid at fractional R (VERDICT r2 item 6 -- measured against the FFT
+    path at 512/1024 the hybrid wins 7-26x and the gap widens with W, so
+    there is no crossover to route around; this entry tracks the large-W
+    rate round-over-round)."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    geom = RescanGeometry(Grid(size, size), rescan_factor=1.5, chunk=32)
+    sample = samples.siemens_star((size, size))
+    params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+    dev_dt = _amortized_image_s(
+        lambda s, p, k: rescanned_line_sted_image(
+            s, p, geom, key=k, method="scan",
+            noise_mode="per_step").image,
+        sample, params, geom.canvas_shape, n=3, seed_off=970)
     return size / dev_dt
 
 
@@ -217,9 +245,9 @@ def bench_ism_analytic():
     sample = samples.siemens_star((size, size))
     params = PointSTEDParams.create(depletion=8.0, **POINT_KW)
     dev_dt = _amortized_image_s(
-        lambda s, k: rescanned_point_sted_image(s, params, geom,
-                                                key=k).image,
-        sample, geom.canvas_shape, seed_off=950)
+        lambda s, p, k: rescanned_point_sted_image(s, p, geom,
+                                                   key=k).image,
+        sample, params, geom.canvas_shape, seed_off=950)
     return size * size / dev_dt
 
 
@@ -231,16 +259,20 @@ def bench_tpu_sweep():
     lbase = LineSTEDParams.create(**LINE_KW)
     powers = jnp.linspace(0.0, 16.0, SWEEP_POWERS)
 
-    fn = jax.jit(lambda p, k: dose_matched_sweep(
-        sample, pbase, lbase, pgeom, lgeom, p, 100.0, key=k))
+    # every concrete pytree rides as a jit argument (closure constants
+    # trigger the eager tunnel-compile storm; see _amortized_image_s)
+    fn = jax.jit(lambda s, pb, lb, p, k: dose_matched_sweep(
+        s, pb, lb, pgeom, lgeom, p, 100.0, key=k))
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(powers, jax.random.key(RUN_SEED + 100)))
+    jax.block_until_ready(fn(sample, pbase, lbase, powers,
+                             jax.random.key(RUN_SEED + 100)))
     compile_s = time.perf_counter() - t0
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(powers, jax.random.key(RUN_SEED + 101 + i))
+        out = fn(sample, pbase, lbase, powers,
+                 jax.random.key(RUN_SEED + 101 + i))
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, compile_s
 
@@ -383,6 +415,7 @@ def main():
     frac_ps_dev = bench_fractional_rescan_per_step()
     ism_dev = bench_ism_analytic()
     large_fov_dev = bench_large_fov_steps_per_sec(2048)
+    large_ps_dev = bench_large_fov_per_step(2048)
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
     anchor_measured, anchor_extrap = bench_oracle_anchor()
@@ -437,6 +470,8 @@ def main():
                 round(ism_dev, 1),
             "rescan_optimal_fractional_R": r_opt,
             "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
+            "rescan_per_step_2048_fractional_R_steps_per_sec_device":
+                round(large_ps_dev, 1),
             "line_sted_scan_size": SCAN_SIZE,
             "scan_wall_s_per_image": round(scan_dt, 4),
             "compile_s": {"scan": round(scan_compile_s, 1),

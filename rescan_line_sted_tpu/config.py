@@ -160,6 +160,16 @@ def _f(x) -> jnp.ndarray:
     return jnp.asarray(x, dtype=jnp.float32)
 
 
+def _support(sigma, pad: int = 5) -> int | None:
+    """Static support half-width (px) bounding a Gaussian of width
+    ``sigma``: < 4e-10 of peak beyond ``6.5 sigma``. None when ``sigma`` is
+    traced (then no static bound exists)."""
+    try:
+        return int(6.5 * float(sigma)) + pad
+    except Exception:
+        return None
+
+
 @struct.dataclass
 class PointSTEDParams:
     """Physics of a point-STED acquisition (all traced f32 scalars).
@@ -176,6 +186,13 @@ class PointSTEDParams:
     * ``model``        STATIC illumination-model override (see
                        ``physics/models.py``; ``None`` = Gaussian excitation
                        + ``u e^{1-u}`` donut closed forms).
+    * ``exc_support`` / ``det_support``  STATIC half-widths (px) bounding
+                       the excitation / detection PSF supports; auto-filled
+                       by ``create`` from concrete sigmas. They enable the
+                       banded-window engines under jit/vmap (where sigmas
+                       trace); if you ``replace`` a sigma with a LARGER
+                       value, update or None the matching support (a stale
+                       too-small bound truncates real signal).
     """
 
     sigma_exc: jnp.ndarray
@@ -185,6 +202,8 @@ class PointSTEDParams:
     pinhole_radius: jnp.ndarray
     brightness: jnp.ndarray
     model: object = struct.field(pytree_node=False, default=None)
+    exc_support: int | None = struct.field(pytree_node=False, default=None)
+    det_support: int | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, sigma_exc=3.0, sigma_det=3.0, sigma_dep=3.0,
@@ -192,7 +211,9 @@ class PointSTEDParams:
                model=None):
         return cls(_f(sigma_exc), _f(sigma_det), _f(sigma_dep),
                    _f(depletion), _f(pinhole_radius), _f(brightness),
-                   model=model)
+                   model=model,
+                   exc_support=_support(sigma_exc),
+                   det_support=_support(sigma_det))
 
 
 @struct.dataclass
@@ -212,6 +233,14 @@ class LineSTEDParams:
     * ``model``         STATIC illumination-model override (see
                         ``physics/models.py``; ``None`` = Gaussian line +
                         ``sin^2`` stripe closed forms).
+    * ``exc_support`` / ``det_support`` / ``slit_support_px``  STATIC
+                        half-widths (px) bounding the excitation line,
+                        detection PSF, and slit supports; auto-filled by
+                        ``create`` from concrete values. They enable the
+                        banded-window engines under jit/vmap (where the
+                        physics scalars trace); if you ``replace`` a width
+                        with a LARGER value, update or None the matching
+                        support (a stale too-small bound truncates signal).
     """
 
     sigma_exc: jnp.ndarray
@@ -221,14 +250,25 @@ class LineSTEDParams:
     slit_halfwidth: jnp.ndarray
     brightness: jnp.ndarray
     model: object = struct.field(pytree_node=False, default=None)
+    exc_support: int | None = struct.field(pytree_node=False, default=None)
+    det_support: int | None = struct.field(pytree_node=False, default=None)
+    slit_support_px: int | None = struct.field(pytree_node=False,
+                                               default=None)
 
     @classmethod
     def create(cls, sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
                depletion=0.0, slit_halfwidth=4.0, brightness=100.0,
                model=None):
+        try:
+            slit_sup = int(float(slit_halfwidth)) + 2
+        except Exception:
+            slit_sup = None
         return cls(_f(sigma_exc), _f(sigma_det), _f(stripe_period),
                    _f(depletion), _f(slit_halfwidth), _f(brightness),
-                   model=model)
+                   model=model,
+                   exc_support=_support(sigma_exc),
+                   det_support=_support(sigma_det),
+                   slit_support_px=slit_sup)
 
 
 # The rescanned engine shares the line physics; alias for API clarity.

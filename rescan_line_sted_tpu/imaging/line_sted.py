@@ -173,7 +173,14 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
     # only when h tiles evenly; otherwise the full h is one tile)
     lane = 128 if h % 128 == 0 else h
     vmem_ok = (w * w + 50 * win * lane) * 4 <= 14_000_000 and w % 8 == 0
-    if on_tpu and vmem_ok and slit_fits and use_pallas is not False:
+    # The banded windowed fallback (r3) measures ~1.7x the fused megakernel
+    # (44.9k vs 26.5k steps/s at 512^2, same harness), so when its static
+    # windows are available it is the per-step default; the megakernel
+    # stays reachable with use_pallas=True and remains the default when
+    # banding is unavailable (traced params / custom illumination models).
+    banded_available = _line_band(params, w, chunk) is not None
+    if (on_tpu and vmem_ok and slit_fits and use_pallas is not False
+            and (use_pallas is True or not banded_available)):
         from rescan_line_sted_tpu.kernels.line_fused import line_sted_fused
 
         seed = jax.random.randint(key, (2,), 0, jnp.iinfo(jnp.int32).max,
@@ -188,8 +195,13 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
     # widths whose resident [W, W] circulant exceeds VMEM) the frames are
     # computed W-major and sampled with the tiered-block hardware-PRNG
     # sampler, so mostly-dark camera chunks skip the expensive sampler
-    # tiers -- the fused kernel's dark-frame economics at any width.
+    # tiers -- the fused kernel's dark-frame economics at any width. With
+    # concrete widths the whole pipeline is BANDED (see _line_band /
+    # rescan.py:_illum_band): the conv contracts over a D_in sample-column
+    # window, and only the D_out columns the slit can read are produced and
+    # sampled -- all tables chunk-invariant.
     hybrid = on_tpu and use_pallas is not False
+    band = _line_band(params, w, chunk) if hybrid else None
     if hybrid:
         from rescan_line_sted_tpu.kernels.poisson_pallas import (
             poisson_rows_tiered,
@@ -197,11 +209,37 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
 
         gx_t = gx_mat.T
         sample_t = sample_y.T                                    # [W, H]
+        if band is not None:
+            d_in, d_out = band
+            s_in = (d_in - chunk) // 2
+            s_out = (d_out - chunk) // 2
+            ci = jnp.arange(chunk)[:, None]
+            # chunk-invariant tables (chunk positions are contiguous):
+            # illumination window, windowed detection circulant block,
+            # and the slit weights inside the output window
+            di = jnp.arange(d_in)[None, :]
+            ill_w = eff[(w // 2 + di - s_in - ci) % w]           # [C, Di]
+            g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
+                :, (jnp.arange(d_in) - s_in) % w]                # [Do, Di]
+            scaled_win = (params.brightness
+                          * g0w[None] * ill_w[:, None, :])       # [C, Do, Di]
+            do = jnp.arange(d_out)[None, :]
+            slit_w = slit[(w // 2 + do - s_out - ci) % w]        # [C, Do]
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, jax.random.split(key, n_chunks))
 
     def body(img, chunk_in):
         pos, k = chunk_in
+        if hybrid and band is not None:
+            a0 = pos[0] - s_in
+            sample_win = jnp.take(sample_t, (a0 + jnp.arange(d_in)) % w,
+                                  axis=0)                        # [Di, H]
+            cam_win = jnp.einsum("cxd,dh->cxh", scaled_win, sample_win,
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PRECISION)           # [C, Do, H]
+            frames = poisson_rows_tiered(k, cam_win)
+            cols = jnp.einsum("cxh,cx->hc", frames, slit_w)      # [H, C]
+            return img.at[:, pos].set(cols), None
         ill = shifted_profiles(eff, pos)                         # [C, W]
         slits = shifted_profiles(slit, pos)                      # [C, W]
         if hybrid:
@@ -224,3 +262,37 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
     init = jnp.zeros(shape, jnp.float32)
     img, _ = jax.lax.scan(body, init, xs)
     return img
+
+
+def _line_band(params, w: int, chunk: int) -> tuple[int, int] | None:
+    """Static band windows ``(d_in, d_out)`` for the line per-step fallback.
+
+    Same construction as ``rescan.py:_illum_band`` (illumination bounded by
+    its Gaussian envelope -> a D_in sample-contraction window), except the
+    OUTPUT window only needs the slit support: descanned detection reads
+    nothing else, so camera columns outside ``d_out = C + 2(slit_hw + 2)``
+    are neither produced nor sampled (their noise cannot reach the image --
+    the fused megakernel's slit-window argument). Exact: the slit profile
+    has hard support. None when any needed parameter is traced, a custom
+    illumination model is installed, or the windows don't pay.
+    """
+    if getattr(params, "model", None) is not None:
+        return None
+    # static support fields ride the params treedef (config.py), so banding
+    # survives params passed as jit arguments / vmapped
+    s_exc = getattr(params, "exc_support", None)
+    slit_hw = getattr(params, "slit_support_px", None)
+    try:
+        if s_exc is None:
+            s_exc = int(6.5 * float(params.sigma_exc)) + 5
+        if slit_hw is None:
+            slit_hw = int(float(params.slit_halfwidth)) + 2
+    except Exception:
+        return None
+    d_in = -(-(chunk + 2 * s_exc) // 128) * 128
+    if d_in >= w:
+        return None
+    d_out = -(-(chunk + 2 * slit_hw) // 8) * 8
+    if d_out >= w:
+        return None  # slit wider than the frame: nothing to window
+    return (d_in, d_out)

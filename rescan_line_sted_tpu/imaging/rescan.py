@@ -284,8 +284,17 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     lane = 128 if (hb_ % 128 == 0 and hb_ > 128) else hb_
     noisy_vmem_ok = (w * w + w * lane * b + (wc + wb_ + 16) * lane
                      + 8 * wb_ * lane) * 4 <= 14_000_000
+    # The windowed banded hybrid (r3) measures ~2x the fused megakernel for
+    # per-step noise (64-67k vs 27-31k steps/s at 512^2), so when its
+    # static windows are available it is the per-step default even for
+    # rounded offsets; the megakernel stays reachable with use_pallas=True
+    # and remains the default when banding is unavailable (traced sigmas /
+    # custom illumination models).
+    windowed = _illum_band(params, w, chunk, b)
     fused_wanted = (use_pallas is True) if not per_step \
-        else (on_tpu and use_pallas is not False and noisy_vmem_ok)
+        else (on_tpu and use_pallas is not False and noisy_vmem_ok
+              and (use_pallas is True
+                   or windowed is None or windowed[1] is None))
     if reassignment == "rounded" and fused_fits and fused_wanted:
         from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused
 
@@ -333,12 +342,17 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         ph = np.exp(-2j * np.pi * kk[None, :] * offs[:, None] / wc)
         ph_pair = (jnp.asarray(ph.real.astype(np.float32)),      # [W, K]
                    jnp.asarray(ph.imag.astype(np.float32)))
-        if per_step and hybrid_ok:
-            # Per-step noise places SAMPLED frames: their forward rDFT runs
-            # as a real-DFT MXU matmul instead of the XLA FFT custom call
-            # (which measures ~4x slower when fed from a Pallas output; see
-            # docs/PERFORMANCE.md). Only the first W/b rows of the wc-point
-            # DFT matrix are needed -- the zero padding folds away.
+        windowed_collapsed = (not per_step and on_tpu
+                              and windowed is not None
+                              and windowed[1] is not None)
+        if (per_step and hybrid_ok) or windowed_collapsed:
+            # The forward rDFT runs as a real-DFT MXU matmul instead of the
+            # XLA FFT custom call. Per-step: the FFT measures ~4x slower
+            # when fed from a Pallas output (docs/PERFORMANCE.md).
+            # Collapsed (r3): the windowed pipeline only produces the
+            # D_out-column frame window, whose placement gathers frame rows
+            # of the DFT matrix. Only the first W/b rows are needed -- the
+            # zero padding folds away.
             xx = np.arange(w // b, dtype=np.float64)
             ang = -2.0 * np.pi * xx[:, None] * kk[None, :] / wc
             dft_pair = (jnp.asarray(np.cos(ang).astype(np.float32)),
@@ -346,30 +360,85 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
 
     # Collapsed spectral accumulation runs fastest with SMALL position
     # chunks (chunk 8: +37% over 32 at 512^2 -- less HBM-resident
-    # intermediate per scan iteration; scripts + docs/PERFORMANCE.md); the
-    # re-chunk is internal scheduling only, the math is chunking-invariant.
-    # Per-step noise keeps the user chunk (sampler blocking optimum).
+    # intermediate per scan iteration; scripts + docs/PERFORMANCE.md); with
+    # the windowed pipeline (r3) the per-chunk intermediate is already
+    # small and chunk 32 amortizes the window tables better. Per-step
+    # noise keeps the user chunk (sampler blocking optimum).
     eff_chunk = chunk
-    if phase_accum and not per_step and on_tpu and w % 8 == 0 and chunk > 8:
+    if (phase_accum and not per_step and on_tpu and w % 8 == 0 and chunk > 8
+            and dft_pair is None):
         eff_chunk = 8
     n_chunks = w // eff_chunk
     keys = jax.random.split(key, n_chunks) if per_step else None
     canvas = _scan_fallback(
         sample_y, params.brightness * eff, gx_mat, keys, ph_pair, dft_pair,
         wc=wc, chunk=eff_chunk, b=b, rescan_factor=float(geom.rescan_factor),
-        phase_accum=phase_accum, use_pallas=use_pallas, tiered=on_tpu)
+        phase_accum=phase_accum, use_pallas=use_pallas, tiered=on_tpu,
+        band=_illum_band(params, w, eff_chunk, b))
     if key is not None and noise_mode == "collapsed":
         canvas = maybe_poisson(key, canvas)
     return canvas
 
 
+def _illum_band(params, w: int, chunk: int,
+                b: int = 1) -> tuple[int, int | None] | None:
+    """Static band windows ``(d_in, d_out)`` for the per-step hybrid.
+
+    The effective excitation line is bounded by its Gaussian envelope
+    (``exp(-s dep) <= 1`` only narrows it), so for chunk positions
+    ``[p0, p0+C)``:
+
+    * illumination is < 4e-10 of peak outside a contiguous ``d_in =
+      C + 2 S_exc``-column SAMPLE window (``S_exc ~ 6.5 sigma_exc``) -- the
+      x-conv contraction restricts to it;
+    * the camera response is < ~1e-12 outside a contiguous ``d_out =
+      C + 2 (S_exc + S_det)``-column FRAME window -- sampling and the rDFT
+      placement restrict to it (the dark remainder's Poisson draws are
+      zeros with probability 1 to ~1e-4 photons/image, far below shot
+      noise).
+
+    Both windows translate with the chunk, so every conv table is
+    chunk-invariant (no per-chunk lane gathers; scripts/perf_roofline.py
+    showed the full-width conv stage at ~35% of its MXU bound). ``d_out``
+    is None when the frame window would not be narrower than the frame
+    (banded conv only); the whole return is None when nothing pays, a
+    sigma is traced (vmapped over), the binning misaligns the window, or a
+    custom illumination model is installed (unknown support).
+    """
+    if getattr(params, "model", None) is not None:
+        return None
+    # static support fields ride the params treedef (config.py), so banding
+    # survives params passed as jit arguments / vmapped; a concrete sigma
+    # is the fallback for hand-built params
+    s_exc = getattr(params, "exc_support", None)
+    s_det = getattr(params, "det_support", None)
+    try:
+        if s_exc is None:
+            s_exc = int(6.5 * float(params.sigma_exc)) + 5
+        if s_det is None:
+            s_det = int(6.5 * float(params.sigma_det)) + 5
+    except Exception:
+        return None  # traced sigma and no static support bound
+    d_in = -(-(chunk + 2 * s_exc) // 128) * 128  # MXU-friendly contraction
+    if d_in >= w:
+        return None
+    d_out = -(-(chunk + 2 * (s_exc + s_det)) // 128) * 128
+    if d_out >= w:
+        return (d_in, None)
+    # b-aligned frame window: chunk starts are b-aligned iff b | chunk, and
+    # the window offset s_out must be a b multiple for the re-bin grid
+    if chunk % b or ((d_out - chunk) // 2) % b:
+        return (d_in, None)
+    return (d_in, d_out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("wc", "chunk", "b", "rescan_factor", "phase_accum",
-                     "use_pallas", "tiered"))
+                     "use_pallas", "tiered", "band"))
 def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
                    wc, chunk, b, rescan_factor, phase_accum, use_pallas,
-                   tiered=False):
+                   tiered=False, band=None):
     """The chunked lax.scan engine (scatter OR rfft phase
     accumulation), as a module-level jitted unit.
 
@@ -398,8 +467,14 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
     n_chunks = w // chunk
     positions = jnp.arange(w).reshape(n_chunks, chunk)
     xs = (positions, keys) if per_step else positions
-    hybrid = (per_step and phase_accum and tiered
-              and use_pallas is not False and dft_pair is not None)
+    # The windowed/banded MXU-DFT pipeline serves BOTH noise modes (r3):
+    # per-step samples each frame window in the middle, collapsed just
+    # skips the sampler (noise is drawn once on the accumulated canvas by
+    # the caller -- statistically exact, physics/noise.py).
+    hybrid = (phase_accum and tiered and use_pallas is not False
+              and dft_pair is not None
+              and (per_step or (band is not None and band[1] is not None)))
+    dft_prec = _PLACE_PRECISION if per_step else _PRECISION
     if hybrid:
         from rescan_line_sted_tpu.kernels.poisson_pallas import (
             poisson_rows_tiered,
@@ -407,33 +482,99 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
 
         gx_t = gx_mat.T
         sample_t = sample_y.T                                    # [W, H]
+        if band is not None:
+            # Static banded tables (see _illum_band). Lane-axis gathers per
+            # chunk cost ~3 ms/img at 512^2; both windows have structure
+            # that avoids them entirely:
+            # * gx window: gx_t[x, a] = k(x - a + c) is circulant, so
+            #   gx_t[x, (a0+d) % w] = g0[(x - a0) % w, d] with the STATIC
+            #   g0 = gx_t[:, :D] -- one sublane roll per chunk.
+            # * illumination window: with chunk positions contiguous
+            #   (pos[c] = p0 + c) and window start a0 = p0 - S, the block
+            #   ill[c, (a0+d) % w] = eff[(w//2 + d - S - c) % w] is
+            #   CHUNK-INVARIANT -- one static [C, D] table.
+            d_in, d_out = band
+            s_in = (d_in - chunk) // 2
+            ci = jnp.arange(chunk)[:, None]
+            di = jnp.arange(d_in)[None, :]
+            ill_w = eff_b[(w // 2 + di - s_in - ci) % w]         # [C, D_in]
+            if d_out is None:
+                g0 = gx_t[:, :d_in]                              # [W, D_in]
+            else:
+                # Frame window translates WITH the sample window, so even
+                # the gx block is chunk-invariant: the scaled conv tensor
+                # [C, D_out, D_in] is built ONCE and every chunk is a
+                # single [C*D_out, D_in] @ [D_in, H] matmul against the
+                # gathered sample rows.
+                s_out = (d_out - chunk) // 2
+                g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
+                    :, (jnp.arange(d_in) - s_in) % w]            # [D_out, D_in]
+                scaled_win = g0w[None] * ill_w[:, None, :]       # [C, Do, Di]
 
     def body(canvas, chunk_in):
         pos, k = chunk_in if per_step else (chunk_in, None)
-        ill = shifted_profiles(eff_b, pos)                       # [C, W]
+        if not (hybrid and band is not None):
+            ill = shifted_profiles(eff_b, pos)                   # [C, W]
         if hybrid:
-            emitted_t = ill[:, :, None] * sample_t[None]         # [C, W, H]
-            cam_t = jnp.einsum("xa,cah->cxh", gx_t, emitted_t,
-                               preferred_element_type=jnp.float32,
-                               precision=_PRECISION)             # [C, W, H]
-            # bin the noise-free mean, then draw per-frame shot noise on the
-            # binned frame -- distributionally identical to sampling before
-            # binning (sums of independent Poissons are Poisson), b^2 fewer
-            # draws, and the W-major layout keeps bright blocks contiguous
-            frames_t = poisson_rows_tiered(k, _rebin(cam_t, b))
+            if band is not None and band[1] is not None:
+                # Fully windowed pipeline (see _illum_band): conv,
+                # sampling, AND placement act on the D_out-column frame
+                # window; only two sublane row-gathers depend on the chunk.
+                a0 = pos[0] - s_in
+                sample_win = jnp.take(sample_t,
+                                      (a0 + jnp.arange(d_in)) % w,
+                                      axis=0)                    # [Di, H]
+                cam_win = jnp.einsum("cxd,dh->cxh", scaled_win, sample_win,
+                                     preferred_element_type=jnp.float32,
+                                     precision=_PRECISION)       # [C, Do, H]
+                reb = _rebin(cam_win, b)
+                frames_t = poisson_rows_tiered(k, reb) if per_step else reb
+                rows = ((pos[0] - s_out) // b
+                        + jnp.arange(d_out // b)) % (w // b)
+                dre = jnp.take(dft_pair[0], rows, axis=0)        # [Do/b, K]
+                dim = jnp.take(dft_pair[1], rows, axis=0)
+            elif band is not None:
+                # Banded contraction only (frame window >= frame): chunk
+                # positions are contiguous, so illumination is supported on
+                # ONE circular window of D_in sample columns -- contract
+                # over it instead of all W. Truncation < 4e-10.
+                a0 = pos[0] - s_in
+                sample_win = jnp.take(sample_t,
+                                      (a0 + jnp.arange(d_in)) % w,
+                                      axis=0)                    # [Di, H]
+                gx_w = jnp.roll(g0, a0, axis=0)                  # [W, Di]
+                scaled = gx_w[None] * ill_w[:, None, :]          # [C, W, Di]
+                cam_t = jnp.einsum("cxd,dh->cxh", scaled, sample_win,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PRECISION)         # [C, W, H]
+                frames_t = poisson_rows_tiered(k, _rebin(cam_t, b))
+                dre, dim = dft_pair
+            else:
+                emitted_t = ill[:, :, None] * sample_t[None]     # [C, W, H]
+                cam_t = jnp.einsum("xa,cah->cxh", gx_t, emitted_t,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PRECISION)         # [C, W, H]
+                # bin the noise-free mean, then draw per-frame shot noise
+                # on the binned frame -- distributionally identical to
+                # sampling before binning (sums of independent Poissons are
+                # Poisson), b^2 fewer draws, and the W-major layout keeps
+                # bright blocks contiguous
+                frames_t = poisson_rows_tiered(k, _rebin(cam_t, b))
+                dre, dim = dft_pair
             # forward rDFT of each frame as two MXU matmuls (zero padding to
-            # wc folds into keeping only the first W/b DFT-matrix rows);
-            # bf16x3 is safe here -- the operands are sampled integer counts
-            sre = jnp.einsum("cxh,xk->ckh", frames_t, dft_pair[0],
+            # wc folds into keeping only the frame rows of the DFT matrix).
+            # Per-step runs bf16x3 (operands are sampled integer counts);
+            # collapsed keeps the noise-free path's full precision.
+            sre = jnp.einsum("cxh,xk->ckh", frames_t, dre,
                              preferred_element_type=jnp.float32,
-                             precision=_PLACE_PRECISION)
-            sim = jnp.einsum("cxh,xk->ckh", frames_t, dft_pair[1],
+                             precision=dft_prec)
+            sim = jnp.einsum("cxh,xk->ckh", frames_t, dim,
                              preferred_element_type=jnp.float32,
-                             precision=_PLACE_PRECISION)
+                             precision=dft_prec)
             spec_t = jax.lax.complex(sre, sim)                   # [C, K, H/b]
             ph_c = jax.lax.complex(ph_pair[0][pos], ph_pair[1][pos])
             add = jnp.einsum("ckh,ck->kh", spec_t, ph_c,
-                             precision=_PLACE_PRECISION)
+                             precision=dft_prec)
             return canvas + add, None
         emitted_y = ill[:, None, :] * sample_y[None]             # [C, H, W]
         cam = maybe_poisson(

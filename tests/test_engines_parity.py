@@ -4,6 +4,7 @@ BASELINE configs 1-3 on small grids, noise-free (<= 1e-5 relative error;
 noise is validated statistically in test_noise.py).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -202,3 +203,94 @@ def test_optimal_rescan_factor_directly_usable():
                                      method="scan").image
     assert img.shape == geom.canvas_shape
     assert rel_err(img, scan) < 1e-5
+
+
+def test_banded_hybrid_window_math_exact():
+    """The banded x-conv contraction (per-step hybrid, _illum_band) equals
+    the full-width einsum to f32 rounding, including circular wrap at the
+    scan edges."""
+    import numpy as np
+
+    from rescan_line_sted_tpu.imaging.line_sted import effective_line_profile
+    from rescan_line_sted_tpu.imaging.rescan import _illum_band
+    from rescan_line_sted_tpu.imaging.shifts import shifted_profiles
+    from rescan_line_sted_tpu.kernels import fftconv
+    from rescan_line_sted_tpu.physics import psf as psfs
+
+    w = h = 256
+    chunk = 32
+    params = LineSTEDParams.create(depletion=8.0, sigma_exc=3.0,
+                                   sigma_det=3.0)
+    eff = effective_line_profile(w, params)
+    gx_t = fftconv.circulant_matrix(
+        psfs.detection_profile(w, params.sigma_det)).T
+    rng = np.random.default_rng(0)
+    sample_t = jnp.asarray(rng.uniform(size=(w, h)), jnp.float32)
+    band = _illum_band(params, w, chunk)
+    assert band is not None
+    d_in, d_out = band
+    assert d_in < w and d_out is not None
+    # the engine's static tables (chunk-invariant ill_w, g0 roll form for
+    # the full-frame variant, fully static scaled_win for the windowed one)
+    s_in = (d_in - chunk) // 2
+    s_out = (d_out - chunk) // 2
+    g0 = gx_t[:, :d_in]
+    ci = jnp.arange(chunk)[:, None]
+    di = jnp.arange(d_in)[None, :]
+    ill_w = eff[(w // 2 + di - s_in - ci) % w]
+    g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
+        :, (jnp.arange(d_in) - s_in) % w]
+    scaled_win = g0w[None] * ill_w[:, None, :]
+    for p0 in (0, 96, w - chunk):  # wrap at the right edge included
+        pos = jnp.arange(p0, p0 + chunk)
+        ill = shifted_profiles(eff, pos)
+        hi = jax.lax.Precision.HIGHEST  # TPU eager default is bf16
+        full = jnp.einsum("xa,cah->cxh", gx_t,
+                          ill[:, :, None] * sample_t[None], precision=hi)
+        a0 = pos[0] - s_in
+        sample_win = jnp.take(sample_t, (a0 + jnp.arange(d_in)) % w,
+                              axis=0)
+        # full-frame banded variant (roll form)
+        gx_w = jnp.roll(g0, a0, axis=0)
+        banded = jnp.einsum("cxd,dh->cxh",
+                            gx_w[None] * ill_w[:, None, :], sample_win,
+                            precision=hi)
+        err = float(jnp.max(jnp.abs(full - banded))
+                    / jnp.max(jnp.abs(full)))
+        assert err < 1e-5
+        # windowed-frame variant: rows (a1 + x2) % w of the full frame
+        cam_win = jnp.einsum("cxd,dh->cxh", scaled_win, sample_win,
+                             precision=hi)
+        rows = (p0 - s_out + jnp.arange(d_out)) % w
+        want_win = jnp.take_along_axis(
+            full, jnp.broadcast_to(rows[None, :, None],
+                                   (chunk, d_out, h)), axis=1)
+        err_w = float(jnp.max(jnp.abs(want_win - cam_win))
+                      / jnp.max(jnp.abs(full)))
+        assert err_w < 1e-5
+        # the rest of the frame really is dark (window captures everything)
+        mask = jnp.ones((w,), bool).at[rows].set(False)
+        outside = float(jnp.max(jnp.abs(full[:, mask, :]))
+                        / jnp.max(jnp.abs(full)))
+        assert outside < 1e-7
+
+
+def test_illum_band_gating():
+    """Banding declines traced sigmas, custom models, and small widths."""
+    from rescan_line_sted_tpu.imaging.rescan import _illum_band
+    from rescan_line_sted_tpu.physics.models import EnvelopedStripeModel
+
+    p = LineSTEDParams.create(sigma_exc=3.0)
+    assert _illum_band(p, 512, 32) == (128, 128)
+    assert _illum_band(p, 128, 32) is None          # D == w: no gain
+    pm = LineSTEDParams.create(sigma_exc=3.0, model=EnvelopedStripeModel())
+    assert _illum_band(pm, 512, 32) is None         # unknown support
+    # concrete jnp array sigma works (float() succeeds on concrete arrays)
+    assert _illum_band(LineSTEDParams.create(sigma_exc=2.0), 512, 32) \
+        == (128, 128)
+    # wide PSFs push the frame window to the full frame -> conv-only band
+    wide = LineSTEDParams.create(sigma_exc=9.0, sigma_det=30.0)
+    assert _illum_band(wide, 512, 32) == (256, None)
+    # binning that misaligns the frame window falls back to conv-only
+    assert _illum_band(p, 512, 48, b=4) == (256, None) or \
+        _illum_band(p, 512, 48, b=4)[1] in (None, 256)
