@@ -90,7 +90,12 @@ def _amortized_image_s(make_image, sample, params, out_shape, n=10,
     """
     def many(s, p, keys):
         def body(acc, k):
-            return acc + make_image(s, p, k), None
+            # key-derived perturbation of the sample: the WHOLE pipeline
+            # depends on k, so XLA cannot hoist the noise-free stages out
+            # of the loop (collapsed engines otherwise measure only their
+            # final Poisson draw -- loop-invariant code motion)
+            s_k = s * (1.0 + 1e-6 * jax.random.uniform(k))
+            return acc + make_image(s_k, p, k), None
         out, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32), keys)
         return out
 
@@ -98,10 +103,17 @@ def _amortized_image_s(make_image, sample, params, out_shape, n=10,
     jax.block_until_ready(f(
         sample, params,
         jax.random.split(jax.random.key(RUN_SEED + seed_off), n)))
-    keys = jax.random.split(jax.random.key(RUN_SEED + seed_off + 1), n)
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(sample, params, keys))
-    return (time.perf_counter() - t0) / n
+    best = 1e30
+    for r in range(2):
+        keys = jax.random.split(
+            jax.random.key(RUN_SEED + seed_off + 1 + r), n)
+        t0 = time.perf_counter()
+        out = f(sample, params, keys)
+        # force the VALUE (not just the ready-handle): some tunnel paths
+        # resolve block_until_ready before the result bytes exist
+        float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
@@ -122,7 +134,8 @@ def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(sample, params, jax.random.key(RUN_SEED + 1 + i))
-    jax.block_until_ready(out)
+        float(jnp.sum(out))  # force each value; async dispatch otherwise
+        # overlaps calls and reports throughput-ish wall times
     dt = (time.perf_counter() - t0) / iters
 
     dev_dt = _amortized_image_s(
@@ -149,7 +162,7 @@ def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(sample, params, jax.random.key(RUN_SEED + 501 + i))
-    jax.block_until_ready(out)
+        float(jnp.sum(out))
     percall = SCAN_SIZE * iters / (time.perf_counter() - t0)
     dev_dt = _amortized_image_s(
         lambda s, p, k: rescanned_line_sted_image(
@@ -273,7 +286,7 @@ def bench_tpu_sweep():
     for i in range(iters):
         out = fn(sample, pbase, lbase, powers,
                  jax.random.key(RUN_SEED + 101 + i))
-    jax.block_until_ready(out)
+        float(jnp.sum(out.point.image))  # force values each call
     return (time.perf_counter() - t0) / iters, compile_s
 
 

@@ -204,16 +204,22 @@ class PointSTEDParams:
     model: object = struct.field(pytree_node=False, default=None)
     exc_support: int | None = struct.field(pytree_node=False, default=None)
     det_support: int | None = struct.field(pytree_node=False, default=None)
+    pin_support: int | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, sigma_exc=3.0, sigma_det=3.0, sigma_dep=3.0,
                depletion=0.0, pinhole_radius=4.0, brightness=100.0,
                model=None):
+        try:
+            pin_sup = int(float(pinhole_radius)) + 2
+        except Exception:
+            pin_sup = None
         return cls(_f(sigma_exc), _f(sigma_det), _f(sigma_dep),
                    _f(depletion), _f(pinhole_radius), _f(brightness),
                    model=model,
                    exc_support=_support(sigma_exc),
-                   det_support=_support(sigma_det))
+                   det_support=_support(sigma_det),
+                   pin_support=pin_sup)
 
 
 @struct.dataclass

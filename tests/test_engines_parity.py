@@ -294,3 +294,52 @@ def test_illum_band_gating():
     # binning that misaligns the frame window falls back to conv-only
     assert _illum_band(p, 512, 48, b=4) == (256, None) or \
         _illum_band(p, 512, 48, b=4)[1] in (None, 256)
+
+
+def test_banded_point_scan_mean_matches_collapsed():
+    """The banded-window per-step point engine's noise-free pipeline equals
+    the collapsed closed form exactly (r3; windows sized by _point_band)."""
+    from rescan_line_sted_tpu.imaging.point_sted import (
+        _banded_point_scan,
+        _point_band,
+    )
+    from rescan_line_sted_tpu.physics import psf as psfs
+    from rescan_line_sted_tpu.physics.models import effective_point_psf
+
+    h = w = 64
+    geom = PointSTEDGeometry(Grid(h, w), chunk=16)
+    params = PointSTEDParams.create(sigma_exc=1.5, sigma_det=1.5,
+                                    sigma_dep=1.5, depletion=4.0,
+                                    pinhole_radius=2.5, brightness=50.0)
+    band = _point_band(params, h, w, geom.chunk)
+    assert band is not None, "band must be available at this config"
+    sample = samples.siemens_star((h, w), spokes=6)
+    eff = effective_point_psf((h, w), params)
+    pin = psfs.pinhole_mask((h, w), params.pinhole_radius)
+    got = _banded_point_scan(sample, params, geom, jax.random.key(0),
+                             eff, pin, band, draw_noise=False)
+    want = point_sted_image(sample, params, geom, key=None,
+                            method="scan").image
+    assert rel_err(got, want) < 1e-5
+    # and the noisy banded engine is the default per-step route: mean
+    # consistent with the collapsed image at high counts
+    noisy = point_sted_image(sample, params, geom, key=jax.random.key(1),
+                             method="scan", noise_mode="per_step").image
+    ratio = float(jnp.sum(noisy) / jnp.sum(want))
+    assert 0.9 < ratio < 1.1
+    # deterministic in the key
+    noisy2 = point_sted_image(sample, params, geom, key=jax.random.key(1),
+                              method="scan", noise_mode="per_step").image
+    np.testing.assert_array_equal(np.asarray(noisy), np.asarray(noisy2))
+
+
+def test_point_band_gating():
+    from rescan_line_sted_tpu.imaging.point_sted import _point_band
+    from rescan_line_sted_tpu.physics.models import PupilDonutModel
+
+    p = PointSTEDParams.create(sigma_exc=3.0, pinhole_radius=4.0)
+    assert _point_band(p, 512, 512, 64) is not None
+    assert _point_band(p, 48, 48, 16) is None       # windows >= field
+    pm = PointSTEDParams.create(sigma_exc=3.0, model=PupilDonutModel())
+    assert _point_band(pm, 512, 512, 64) is None    # unknown support
+    assert _point_band(p, 512, 512, 60) is None     # chunk must divide w
