@@ -93,11 +93,17 @@ def _amortized_image_s(make_image, sample, params, out_shape, n=10,
             # key-derived perturbation of the sample: the WHOLE pipeline
             # depends on k, so XLA cannot hoist the noise-free stages out
             # of the loop (collapsed engines otherwise measure only their
-            # final Poisson draw -- loop-invariant code motion)
+            # final Poisson draw -- loop-invariant code motion; measured
+            # 2.5x inflation on collapsed paths, docs/PERFORMANCE.md)
             s_k = s * (1.0 + 1e-6 * jax.random.uniform(k))
             return acc + make_image(s_k, p, k), None
         out, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32), keys)
-        return out
+        # checksum INSIDE the jitted program: float() of the scalar then
+        # forces the whole pipeline's VALUE with a 4-byte transfer. An
+        # EAGER jnp.sum(out) here instead goes through the tunnel's slow
+        # per-input eager-execution path (~1.3 s/call) and poisons the
+        # timing (docs/PERFORMANCE.md).
+        return jnp.sum(out)
 
     f = jax.jit(many)
     jax.block_until_ready(f(
@@ -108,10 +114,7 @@ def _amortized_image_s(make_image, sample, params, out_shape, n=10,
         keys = jax.random.split(
             jax.random.key(RUN_SEED + seed_off + 1 + r), n)
         t0 = time.perf_counter()
-        out = f(sample, params, keys)
-        # force the VALUE (not just the ready-handle): some tunnel paths
-        # resolve block_until_ready before the result bytes exist
-        float(jnp.sum(out))
+        float(f(sample, params, keys))
         best = min(best, (time.perf_counter() - t0) / n)
     return best
 
@@ -123,19 +126,27 @@ def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
     sample = samples.siemens_star((size, size))
     params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
 
-    # params as a jit ARGUMENT (not a closure): see _amortized_image_s
-    fn = jax.jit(lambda s, p, k: line_sted_image(
-        s, p, geom, key=k, method="scan", noise_mode=noise_mode).image)
+    # params as a jit ARGUMENT (not a closure): see _amortized_image_s.
+    # The in-jit checksum gives per-call timing an honest 4-byte forcing
+    # point (eager sums take the tunnel's slow path; block_until_ready on
+    # the last call only would let the calls pipeline).
+    fn = jax.jit(lambda s, p, k: jnp.sum(line_sted_image(
+        s, p, geom, key=k, method="scan", noise_mode=noise_mode).image))
     t0 = time.perf_counter()
     jax.block_until_ready(fn(sample, params, jax.random.key(RUN_SEED)))
     compile_s = time.perf_counter() - t0
 
+    # per-call loop: force EVERY call via its in-jit scalar checksum (a
+    # 4-byte transfer). Measured per-call behaviors on the tunnel: serial
+    # forced = ~28 ms (honest dispatch+run); async pipelining can
+    # pathologically serialize for some executables (1.7 s/call); an EAGER
+    # jnp.sum force costs ~1.3 s/call. One untimed forced call first -- the
+    # first force of a fresh executable carries a ~350 ms outlier.
+    float(fn(sample, params, jax.random.key(RUN_SEED + 999)))
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(sample, params, jax.random.key(RUN_SEED + 1 + i))
-        float(jnp.sum(out))  # force each value; async dispatch otherwise
-        # overlaps calls and reports throughput-ish wall times
+        float(fn(sample, params, jax.random.key(RUN_SEED + 1 + i)))
     dt = (time.perf_counter() - t0) / iters
 
     dev_dt = _amortized_image_s(
@@ -155,14 +166,14 @@ def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
     geom = RescanGeometry(grid, rescan_factor=2.0, chunk=32)
     sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
     params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
-    fn = jax.jit(lambda s, p, k: rescanned_line_sted_image(
-        s, p, geom, key=k, method="scan", noise_mode=noise_mode).image)
+    fn = jax.jit(lambda s, p, k: jnp.sum(rescanned_line_sted_image(
+        s, p, geom, key=k, method="scan", noise_mode=noise_mode).image))
     jax.block_until_ready(fn(sample, params, jax.random.key(RUN_SEED + 500)))
+    float(fn(sample, params, jax.random.key(RUN_SEED + 599)))
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(sample, params, jax.random.key(RUN_SEED + 501 + i))
-        float(jnp.sum(out))
+        float(fn(sample, params, jax.random.key(RUN_SEED + 501 + i)))
     percall = SCAN_SIZE * iters / (time.perf_counter() - t0)
     dev_dt = _amortized_image_s(
         lambda s, p, k: rescanned_line_sted_image(
@@ -246,6 +257,24 @@ def bench_large_fov_per_step(size: int = 2048):
     return size / dev_dt
 
 
+def bench_point_per_step(size: int = None):
+    """Camera-faithful per-step point-STED scan (banded-window engine, r3):
+    every 2D camera frame Poisson-sampled; size^2 scan positions per image,
+    windowed to the pinhole support (the reference's per-pixel point loop,
+    SURVEY.md call stack 4.1)."""
+    from rescan_line_sted_tpu.imaging import point_sted_image
+
+    size = size or SCAN_SIZE
+    geom = PointSTEDGeometry(Grid(size, size), chunk=64)
+    sample = samples.siemens_star((size, size))
+    params = PointSTEDParams.create(depletion=8.0, **POINT_KW)
+    dev_dt = _amortized_image_s(
+        lambda s, p, k: point_sted_image(s, p, geom, key=k, method="scan",
+                                         noise_mode="per_step").image,
+        sample, params, (size, size), n=5, seed_off=980)
+    return size * size / dev_dt
+
+
 def bench_ism_analytic():
     """Rescanned point-STED (2D pixel reassignment / ISM, beyond-reference):
     closed-form acquisition incl. the Poisson draw, as equivalent point-scan
@@ -274,20 +303,43 @@ def bench_tpu_sweep():
 
     # every concrete pytree rides as a jit argument (closure constants
     # trigger the eager tunnel-compile storm; see _amortized_image_s)
-    fn = jax.jit(lambda s, pb, lb, p, k: dose_matched_sweep(
-        s, pb, lb, pgeom, lgeom, p, 100.0, key=k))
+    def _checksum_all(s, pb, lb, p, k):
+        out = dose_matched_sweep(s, pb, lb, pgeom, lgeom, p, 100.0, key=k)
+        # checksum EVERY leaf: a partial checksum would let XLA dead-code-
+        # eliminate the unreferenced sweep arms from the timed program
+        return sum(jnp.sum(x).astype(jnp.float32)
+                   for x in jax.tree.leaves(out))
+
+    fn = jax.jit(_checksum_all)
     t0 = time.perf_counter()
     jax.block_until_ready(fn(sample, pbase, lbase, powers,
                              jax.random.key(RUN_SEED + 100)))
     compile_s = time.perf_counter() - t0
 
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(sample, pbase, lbase, powers,
-                 jax.random.key(RUN_SEED + 101 + i))
-        float(jnp.sum(out.point.image))  # force values each call
-    return (time.perf_counter() - t0) / iters, compile_s
+    # headline wall-clock measured AMORTIZED (n sweeps folded into one
+    # program, perturbed sample per iteration -- same honest harness as
+    # every device rate): the oracle denominator is pure compute, so the
+    # TPU numerator must not be dominated by the tunnel's ~28 ms per-call
+    # dispatch artifact (real-hardware dispatch is ~100 us).
+    n = 5
+
+    def many(s, pb, lb, p, keys):
+        def body(acc, k):
+            s_k = s * (1.0 + 1e-6 * jax.random.uniform(k))
+            return acc + _checksum_all(s_k, pb, lb, p, k), None
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+        return out
+
+    f = jax.jit(many)
+    float(f(sample, pbase, lbase, powers,
+            jax.random.split(jax.random.key(RUN_SEED + 199), n)))
+    best = 1e30
+    for r in range(2):
+        keys = jax.random.split(jax.random.key(RUN_SEED + 101 + r), n)
+        t0 = time.perf_counter()
+        float(f(sample, pbase, lbase, powers, keys))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best, compile_s
 
 
 def bench_oracle_sweep():
@@ -427,6 +479,7 @@ def main():
     frac_dev, r_opt = bench_fractional_rescan_analytic()
     frac_ps_dev = bench_fractional_rescan_per_step()
     ism_dev = bench_ism_analytic()
+    point_ps_dev = bench_point_per_step()
     large_fov_dev = bench_large_fov_steps_per_sec(2048)
     large_ps_dev = bench_large_fov_per_step(2048)
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
@@ -481,6 +534,8 @@ def main():
                 round(frac_ps_dev, 1),
             "ism_rescan_point_equiv_steps_per_sec_device":
                 round(ism_dev, 1),
+            "point_sted_per_step_steps_per_sec_device":
+                round(point_ps_dev, 1),
             "rescan_optimal_fractional_R": r_opt,
             "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
             "rescan_per_step_2048_fractional_R_steps_per_sec_device":
