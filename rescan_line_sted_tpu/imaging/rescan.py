@@ -327,8 +327,40 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # scatter there.
     hybrid_ok = on_tpu and use_pallas is not False
     phase_accum = subpixel or (on_tpu if not per_step else hybrid_ok)
-    ph_pair = dft_pair = None
-    if phase_accum:
+    ph_pair = dft_pair = strips = None
+    # Rational-step STRIP placement (r3 cont.): when the per-position canvas
+    # offset step (R-1)/b is a small rational p/q with q | chunk, chunk
+    # positions fall into q fractional-offset CLASSES with a static
+    # within-chunk pattern (chunk starts are q-multiples): frame c places at
+    # integer offset I0 + (p*c)//q within class r = c % q, and the class's
+    # fractional residue ((p*r) % q)/q is applied ONCE per image as a
+    # spectral shift of the accumulated class canvas. Placement then costs
+    # static-shift strip sums + one dynamic slice-add per chunk instead of
+    # the per-frame K-column MXU rDFT (which dominated the windowed
+    # pipeline; docs/PERFORMANCE.md). Exact: integer placement is the
+    # scatter, the q-1 end-of-image phase ramps are the same math the
+    # spectral path applies per frame. Rounded placement joins only for
+    # fully integral steps (q == 1 == exact): for fractional steps
+    # np.round's half-even ties depend on the integer part, so rounded
+    # offsets are not chunk-invariant. COLLAPSED ONLY: for per-step noise
+    # the A/B (scripts/perf_strips_ab.py) measures the sampler output
+    # fusing better into the rDFT matmul than into the masked strip sums
+    # (63.5k vs 66.7k steps/s at 512^2 R=2), while collapsed gains 11-21%.
+    windowed_collapsed = (not per_step and on_tpu
+                          and windowed is not None
+                          and windowed[1] is not None)
+    import os
+    if windowed_collapsed and use_pallas is not False \
+            and os.environ.get("RLS_RESCAN_STRIPS", "1") != "0":
+        step = (float(geom.rescan_factor) - 1.0) / b
+        for q_try in (1, 2, 4, 8) if subpixel else (1,):
+            if chunk % q_try == 0 \
+                    and abs(step * q_try - round(step * q_try)) < 1e-9:
+                p_c = int(round(step * q_try))
+                if windowed[1] // b + (p_c * (chunk - 1)) // q_try + 1 < wc:
+                    strips = (p_c, q_try)
+                break
+    if phase_accum and strips is None:
         # Per-position canvas phase ramps exp(-2i pi k off/wc), built in f64
         # on the host (f32 phase arguments lose ~1e-4 at these magnitudes).
         # Kept as a (cos, sin) f32 pair: complex64 host->device transfer AND
@@ -366,7 +398,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # noise keeps the user chunk (sampler blocking optimum).
     eff_chunk = chunk
     if (phase_accum and not per_step and on_tpu and w % 8 == 0 and chunk > 8
-            and dft_pair is None):
+            and dft_pair is None and strips is None):
         eff_chunk = 8
     n_chunks = w // eff_chunk
     keys = jax.random.split(key, n_chunks) if per_step else None
@@ -374,7 +406,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         sample_y, params.brightness * eff, gx_mat, keys, ph_pair, dft_pair,
         wc=wc, chunk=eff_chunk, b=b, rescan_factor=float(geom.rescan_factor),
         phase_accum=phase_accum, use_pallas=use_pallas, tiered=on_tpu,
-        band=_illum_band(params, w, eff_chunk, b))
+        band=_illum_band(params, w, eff_chunk, b), strips=strips)
     if key is not None and noise_mode == "collapsed":
         canvas = maybe_poisson(key, canvas)
     return canvas
@@ -435,10 +467,10 @@ def _illum_band(params, w: int, chunk: int,
 @functools.partial(
     jax.jit,
     static_argnames=("wc", "chunk", "b", "rescan_factor", "phase_accum",
-                     "use_pallas", "tiered", "band"))
+                     "use_pallas", "tiered", "band", "strips"))
 def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
                    wc, chunk, b, rescan_factor, phase_accum, use_pallas,
-                   tiered=False, band=None):
+                   tiered=False, band=None, strips=None):
     """The chunked lax.scan engine (scatter OR rfft phase
     accumulation), as a module-level jitted unit.
 
@@ -472,9 +504,34 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
     # skips the sampler (noise is drawn once on the accumulated canvas by
     # the caller -- statistically exact, physics/noise.py).
     hybrid = (phase_accum and tiered and use_pallas is not False
-              and dft_pair is not None
+              and (dft_pair is not None or strips is not None)
               and (per_step or (band is not None and band[1] is not None)))
+    strips = strips if hybrid and band is not None \
+        and band[1] is not None else None
     dft_prec = _PLACE_PRECISION if per_step else _PRECISION
+    if strips is not None:
+        # Rational-step strip placement (see _scan): static per-chunk
+        # geometry. Frame c of a chunk places at integer extended-canvas
+        # offset I0 + strip_shift[c] in class c % q (I0 = p*pos0/q, integral
+        # since q | chunk | pos0); the class's fractional residue is applied
+        # once per image, as a spectral shift of the folded class canvas.
+        # The frame window's camera coordinates g = gstart + d are UNWRAPPED
+        # (the window content is wb-periodic, but a camera column's true
+        # placement is (g mod wb) + offset, and g and g - wb land wb mod wc
+        # apart on the canvas) -- so each chunk splits its frames at the one
+        # possible wb boundary into two masked variants placed wb apart.
+        # Placement per chunk = 2 masked static strip sums + 2 dynamic
+        # slice-adds instead of the per-frame K-column MXU rDFT.
+        p_n, q_n = strips
+        dob = band[1] // b
+        wb = sample_y.shape[1] // b
+        s_out_s = (band[1] - chunk) // 2
+        strip_w = dob + (p_n * (chunk - 1)) // q_n + 1
+        strip_shift = tuple((p_n * c) // q_n for c in range(chunk))
+        strip_frac = tuple(((p_n * r) % q_n) / q_n for r in range(q_n))
+        # extended canvas: slice starts are reduced into [0, wc); the tail
+        # (folded back mod wc at the end) holds one full strip
+        w_ext = wc + -(-strip_w // 8) * 8
     if hybrid:
         from rescan_line_sted_tpu.kernels.poisson_pallas import (
             poisson_rows_tiered,
@@ -529,6 +586,34 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
                                      precision=_PRECISION)       # [C, Do, H]
                 reb = _rebin(cam_win, b)
                 frames_t = poisson_rows_tiered(k, reb) if per_step else reb
+                if strips is not None:
+                    # integer strip placement (see the constants block):
+                    # frame c covers unwrapped camera columns gstart + d and
+                    # places at ext-canvas start B0 - wb*k(d) + strip_shift[c]
+                    gstart = (pos[0] - s_out_s) // b
+                    i0 = p_n * pos[0] // q_n
+                    k0 = jnp.floor_divide(gstart, wb)
+                    glob = gstart + jnp.arange(dob)
+                    m_hi = (glob >= wb * (k0 + 1)).astype(frames_t.dtype)
+                    blocks = []
+                    for mask in (1.0 - m_hi, m_hi):
+                        fm = frames_t * mask[None, :, None]
+                        blk = jnp.zeros((q_n, strip_w, hc), frames_t.dtype)
+                        for c in range(chunk):
+                            blk = blk.at[
+                                c % q_n,
+                                strip_shift[c]:strip_shift[c] + dob].add(fm[c])
+                        blocks.append(blk)
+                    sa = (gstart + i0 - wb * k0) % wc
+                    new = canvas
+                    for blk, start in ((blocks[0], sa),
+                                       (blocks[1], (sa - wb) % wc)):
+                        idx = (jnp.int32(0), start, jnp.int32(0))
+                        cur = jax.lax.dynamic_slice(
+                            new, idx, (q_n, strip_w, hc))
+                        new = jax.lax.dynamic_update_slice(
+                            new, cur + blk, idx)
+                    return new, None
                 rows = ((pos[0] - s_out) // b
                         + jnp.arange(d_out // b)) % (w // b)
                 dre = jnp.take(dft_pair[0], rows, axis=0)        # [Do/b, K]
@@ -594,13 +679,34 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
                                  use_pallas=use_pallas), None
 
     kdim = wc // 2 + 1
-    if hybrid:
+    if strips is not None:
+        init = jnp.zeros((q_n, w_ext, hc), jnp.float32)          # class canvases
+    elif hybrid:
         init = jnp.zeros((kdim, hc), jnp.complex64)              # canvas^T spec
     elif phase_accum:
         init = jnp.zeros((hc, kdim), jnp.complex64)
     else:
         init = jnp.zeros((hc, wc), jnp.float32)
     canvas, _ = jax.lax.scan(body, init, xs)
+    if strips is not None:
+        # fold the extended tail back (canvas wrap), then apply each class's
+        # fractional residue as ONE spectral shift and sum the classes
+        folded = canvas[:, :wc]
+        off = wc
+        while off < w_ext:
+            wdt = min(wc, w_ext - off)
+            folded = folded.at[:, :wdt].add(canvas[:, off:off + wdt])
+            off += wc
+        if q_n == 1:
+            return folded[0].T
+        import numpy as np
+        ang = (-2.0 * np.pi / wc) * np.arange(kdim)[None, :] \
+            * np.asarray(strip_frac, np.float64)[:, None]
+        ph = jax.lax.complex(jnp.asarray(np.cos(ang), jnp.float32),
+                             jnp.asarray(np.sin(ang), jnp.float32))  # [q, K]
+        spec = jnp.fft.rfft(folded, n=wc, axis=1)                # [q, K, hc]
+        return jnp.fft.irfft(jnp.sum(spec * ph[:, :, None], axis=0),
+                             n=wc, axis=0).T
     if hybrid:
         canvas = jnp.fft.irfft(canvas, n=wc, axis=0).T
     elif phase_accum:

@@ -343,3 +343,34 @@ def test_point_band_gating():
     pm = PointSTEDParams.create(sigma_exc=3.0, model=PupilDonutModel())
     assert _point_band(pm, 512, 512, 64) is None    # unknown support
     assert _point_band(p, 512, 512, 60) is None     # chunk must divide w
+
+
+@pytest.mark.parametrize("r, b, pq", [(2.0, 1, (1, 1)),    # integer step
+                                      (2.25, 1, (5, 4)),   # quarter step
+                                      (2.0, 2, (1, 2))])   # binned half step
+def test_rescan_strip_placement_matches_spectral(monkeypatch, r, b, pq):
+    """The rational-step strip engine (integer strip sums + per-class
+    end-of-image spectral residues, imaging/rescan.py) equals the per-frame
+    phase-ramp placement to f32 rounding, including the wb-wrap split at
+    the scan edges. The TPU-only routing is forced by patching the backend
+    probe; every op on the collapsed path is plain XLA, so CPU executes it
+    faithfully."""
+    from rescan_line_sted_tpu.imaging import rescan as rescan_mod
+
+    w = h = 256
+    sample = samples.siemens_star((h, w), spokes=10)
+    params = LineSTEDParams.create(depletion=8.0, sigma_exc=3.0,
+                                   sigma_det=3.0, brightness=50.0)
+    geom = RescanGeometry(Grid(h, w), rescan_factor=r, chunk=32, binning=b)
+    want = rescanned_line_sted_image(sample, params, geom,
+                                     method="scan").image
+    # confirm the gate selects the expected (p, q) for this geometry
+    step = (r - 1.0) / b
+    windowed = rescan_mod._illum_band(params, w, 32, b)
+    assert windowed is not None and windowed[1] is not None
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = rescanned_line_sted_image(sample, params, geom,
+                                    method="scan").image
+    assert abs(step * pq[1] - round(step * pq[1])) < 1e-9
+    assert int(round(step * pq[1])) == pq[0]
+    assert rel_err(got, want) < 1e-5
