@@ -508,7 +508,14 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
               and (per_step or (band is not None and band[1] is not None)))
     strips = strips if hybrid and band is not None \
         and band[1] is not None else None
-    dft_prec = _PLACE_PRECISION if per_step else _PRECISION
+    # Placement einsums run at _PLACE_PRECISION in BOTH noise modes: the
+    # physics (conv) matmuls keep _PRECISION, and the bf16x3 placement of
+    # the noise-free window measures 8.3e-6 precision-only deviation vs
+    # HIGHEST at 512^2 R=5.41 (5.8e-6 at R=2.5) -- inside the 1e-5 bar --
+    # for +34% collapsed throughput at the wide-canvas practical operating
+    # point R~5.4 where no strip structure exists (K ~ wc/2 columns;
+    # measured A/B in docs/PERFORMANCE.md).
+    dft_prec = _PLACE_PRECISION
     if strips is not None:
         # Rational-step strip placement (see _scan): static per-chunk
         # geometry. Frame c of a chunk places at integer extended-canvas
