@@ -203,6 +203,28 @@ def bench_fractional_rescan_per_step():
     return SCAN_SIZE / dev_dt
 
 
+def bench_practical_rescan_collapsed():
+    """Collapsed rescan scan at the PRACTICAL recommended operating point:
+    ``practical_rescan_factor`` default-snaps R-1 to a p/q multiple of 1/8
+    (an equally-valid point on the flat variance curve), which routes the
+    collapsed engine onto the rational-step strip placement path (no
+    per-frame DFT; docs/PERFORMANCE.md)."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    from rescan_line_sted_tpu.imaging.rescan import practical_rescan_factor
+
+    size = SCAN_SIZE
+    params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+    r_prac = float(practical_rescan_factor(params, size))
+    geom = RescanGeometry(Grid(size, size), rescan_factor=r_prac, chunk=32)
+    sample = samples.siemens_star((size, size))
+    dev_dt = _amortized_image_s(
+        lambda s, p, k: rescanned_line_sted_image(
+            s, p, geom, key=k, method="scan").image,
+        sample, params, geom.canvas_shape, seed_off=850)
+    return size / dev_dt, r_prac
+
+
 def bench_fractional_rescan_analytic():
     """Closed-form rescanned acquisition at the theory-optimal FRACTIONAL
     rescan factor (subpixel placement, r2 capability): equivalent scan
@@ -477,6 +499,7 @@ def main():
     rescan_sps, rescan_dev = bench_rescan_steps_per_sec()
     _, rescan_dev_ps = bench_rescan_steps_per_sec("per_step")
     frac_dev, r_opt = bench_fractional_rescan_analytic()
+    prac_dev, r_prac = bench_practical_rescan_collapsed()
     frac_ps_dev = bench_fractional_rescan_per_step()
     ism_dev = bench_ism_analytic()
     point_ps_dev = bench_point_per_step()
@@ -537,6 +560,9 @@ def main():
             "point_sted_per_step_steps_per_sec_device":
                 round(point_ps_dev, 1),
             "rescan_optimal_fractional_R": r_opt,
+            "rescan_practical_R_snapped": r_prac,
+            "rescan_collapsed_practical_R_steps_per_sec_device":
+                round(prac_dev, 1),
             "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
             "rescan_per_step_2048_fractional_R_steps_per_sec_device":
                 round(large_ps_dev, 1),

@@ -193,7 +193,8 @@ def rescan_kernel_sigma(params: RescanParams, width: int,
 
 def practical_rescan_factor(params: RescanParams, width: int,
                             tolerance: float = 0.05,
-                            cap: float | None = None) -> jnp.ndarray:
+                            cap: float | None = None,
+                            snap: int | None = 8) -> jnp.ndarray:
     """Smallest rescan factor within ``tolerance`` of the optimal resolution.
 
     The exact optimum (``optimal_rescan_factor``) sits on a very flat
@@ -208,6 +209,17 @@ def practical_rescan_factor(params: RescanParams, width: int,
     with ``target = (1+tol)^2 * s_i^2 s_d^2 / (s_i^2 + s_d^2)``. ``cap``
     additionally clamps the recommendation (R = 1 means no magnification;
     the result never exceeds the exact optimum). Jittable; returns a scalar.
+
+    ``snap`` (default 8) rounds the recommendation UP to the nearest
+    multiple of ``1/snap`` (clamped at the exact optimum, never past it).
+    R is a free design parameter, so this is not an approximation: any R
+    in the tolerance band is an equally valid operating point, and a
+    rational ``R - 1 = p/q`` with small q routes the collapsed scan engine
+    onto the rational-step STRIP placement path (no per-frame DFT;
+    measured 70.0k vs 58.5k steps/s at 512^2 R=2.5 -- see
+    docs/PERFORMANCE.md). Rounding up moves toward the optimum on a
+    decreasing curve, so the snapped R stays within ``tolerance``.
+    ``snap=None`` returns the continuous root.
     """
     from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
 
@@ -219,6 +231,8 @@ def practical_rescan_factor(params: RescanParams, width: int,
     disc = jnp.maximum(si2 * si2 - (si2 + sd2) * (si2 - target), 0.0)
     t = (si2 + jnp.sqrt(disc)) / (si2 + sd2)
     r = jnp.maximum(1.0 / jnp.maximum(t, 1e-12), 1.0)
+    if snap:
+        r = jnp.minimum(jnp.ceil(r * snap) / snap, 1.0 + sd2 / si2)
     if cap is not None:
         r = jnp.minimum(r, cap)
     return r

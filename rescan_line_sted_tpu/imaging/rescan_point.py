@@ -113,14 +113,17 @@ def optimal_rescan_factor_point(params: PointSTEDParams,
 
 def practical_rescan_factor_point(params: PointSTEDParams, size: int,
                                   tolerance: float = 0.05,
-                                  cap: float | None = None) -> jnp.ndarray:
+                                  cap: float | None = None,
+                                  snap: int | None = 8) -> jnp.ndarray:
     """Smallest 2D rescan factor within ``tolerance`` of optimal resolution.
 
     The isotropic analog of ``imaging/rescan.py:practical_rescan_factor``
     (same closed form -- the reassigned-kernel variance
     ``s_i^2 (1-1/R)^2 + s_d^2 / R^2`` applies per axis); see there for the
-    derivation. Recommended operating point for ISM acquisitions where the
-    exact optimum's R x field canvas is impractical.
+    derivation, including the ``snap`` rounding (rational R keeps canvas
+    shapes round-number-friendly; the line engine's strip-path routing
+    argument applies to its x axis). Recommended operating point for ISM
+    acquisitions where the exact optimum's R x field canvas is impractical.
     """
     from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
 
@@ -132,6 +135,8 @@ def practical_rescan_factor_point(params: PointSTEDParams, size: int,
     disc = jnp.maximum(si2 * si2 - (si2 + sd2) * (si2 - target), 0.0)
     t = (si2 + jnp.sqrt(disc)) / (si2 + sd2)
     r = jnp.maximum(1.0 / jnp.maximum(t, 1e-12), 1.0)
+    if snap:
+        r = jnp.minimum(jnp.ceil(r * snap) / snap, 1.0 + sd2 / si2)
     if cap is not None:
         r = jnp.minimum(r, cap)
     return r

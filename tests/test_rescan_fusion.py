@@ -185,3 +185,11 @@ def test_practical_rescan_factor():
     # tighter tolerance -> recommendation moves toward the optimum
     r_tight = float(practical_rescan_factor(p_sted, 128, tolerance=0.005))
     assert r_prac < r_tight <= r_opt + 1e-6
+    # default snap: R - 1 is a multiple of 1/8 (routes the collapsed scan
+    # onto the strip placement path) and rounds UP from the continuous
+    # root -- toward the optimum, so still within tolerance
+    r_cont = float(practical_rescan_factor(p_sted, 128, snap=None))
+    assert abs(r_prac * 8 - round(r_prac * 8)) < 1e-5
+    assert r_cont <= r_prac <= min(r_cont + 0.125, r_opt) + 1e-5
+    assert float(rescan_kernel_sigma(p_sted, 128, r_prac)) \
+        <= s_opt * 1.05 + 1e-6

@@ -232,3 +232,7 @@ def test_practical_rescan_factor_point():
     r_prac = float(practical_rescan_factor_point(p8, 64))
     assert 1.0 < r_prac < r_opt
     assert float(practical_rescan_factor_point(p8, 64, cap=2.0)) == 2.0
+    # default snap rounds up to a 1/8 multiple, never past the optimum
+    r_cont = float(practical_rescan_factor_point(p8, 64, snap=None))
+    assert abs(r_prac * 8 - round(r_prac * 8)) < 1e-5
+    assert r_cont <= r_prac <= min(r_cont + 0.125, r_opt) + 1e-5
