@@ -155,7 +155,19 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
             poisson_rows_tiered,
         )
 
-    def body(img, chunk_in):
+    # Descanned pinhole detection runs as one batched FFT correlation with
+    # the STATIC pinhole, evaluated at the scan position -- NOT as a second
+    # [C, H, W] position-gather of the pinhole followed by a reduction.
+    # Two full-frame shifted_images gathers feeding one loop body reliably
+    # kill the axon TPU runtime at >= 256^2 (worker crash, ~10 min
+    # recovery; bisected on hardware: one gather + the 1D-OTF convs +
+    # reductions are each fine, adding the second gather faults even with
+    # the einsum replaced by a multiply-reduce). The correlation form uses
+    # only constructs the bisect proved good, and lets the raster image be
+    # rebuilt from scan's stacked outputs with no scatter at all.
+    pin_otf = fftconv.kernel_to_otf(pin)
+
+    def body(_, chunk_in):
         pos_flat, k = chunk_in
         pos = jnp.stack([pos_flat // w, pos_flat % w], axis=-1)  # [C, 2] (y, x)
         ill = shifted_images(eff, pos)                           # [C, H, W]
@@ -165,13 +177,16 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         mean = params.brightness * blurred
         cam = poisson_rows_tiered(k, mean) if on_tpu \
             else maybe_poisson(k, mean)
-        pinholes = shifted_images(pin, pos)                      # [C, H, W]
-        vals = jnp.einsum("chw,chw->c", cam, pinholes)
-        return img.at[pos[:, 0], pos[:, 1]].set(vals), None
+        # corr[c, y, x] = sum_ij cam[c, i, j] * pin[(i-y+H//2)%H, (j-x+W//2)%W]
+        # == the pinhole-masked camera sum for a pinhole descanned to (y, x)
+        # (same centered-kernel convention as the analytic collapse).
+        corr = fftconv.correlate_otf(cam, pin_otf)
+        vals = corr[jnp.arange(pos.shape[0]), pos[:, 0], pos[:, 1]]
+        return None, vals
 
-    init = jnp.zeros(shape, jnp.float32)
-    img, _ = jax.lax.scan(body, init, xs)
-    return img
+    _, vals = jax.lax.scan(body, None, xs)
+    # Chunks tile the raster in order: stacked outputs ARE the image.
+    return vals.reshape(shape)
 
 
 def _round_up(x: int, m: int) -> int:

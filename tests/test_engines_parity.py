@@ -333,6 +333,29 @@ def test_banded_point_scan_mean_matches_collapsed():
     np.testing.assert_array_equal(np.asarray(noisy), np.asarray(noisy2))
 
 
+def test_legacy_point_per_step_mean_matches_collapsed(monkeypatch):
+    """The full-frame per-step point fallback (no static band: custom
+    models / traced widths route here) equals the collapsed closed form
+    when noise is disabled. Exercises the r3 correlation-form detection
+    (one gather + static-pinhole FFT correlation + stacked outputs; the
+    previous two-gather body killed the axon TPU runtime at 256^2)."""
+    from rescan_line_sted_tpu.imaging import point_sted as pmod
+
+    h = w = 64
+    geom = PointSTEDGeometry(Grid(h, w), chunk=16)
+    params = PointSTEDParams.create(sigma_exc=1.5, sigma_det=1.5,
+                                    sigma_dep=1.5, depletion=4.0,
+                                    pinhole_radius=2.5, brightness=50.0)
+    sample = samples.siemens_star((h, w), spokes=6)
+    want = point_sted_image(sample, params, geom, key=None,
+                            method="scan").image
+    monkeypatch.setattr(pmod, "_point_band", lambda *a, **k: None)
+    monkeypatch.setattr(pmod, "maybe_poisson", lambda k, m: m)
+    got = point_sted_image(sample, params, geom, key=jax.random.key(0),
+                           method="scan", noise_mode="per_step").image
+    assert rel_err(got, want) < 1e-5
+
+
 def test_point_band_gating():
     from rescan_line_sted_tpu.imaging.point_sted import _point_band
     from rescan_line_sted_tpu.physics.models import PupilDonutModel
@@ -347,7 +370,8 @@ def test_point_band_gating():
 
 @pytest.mark.parametrize("r, b, pq", [(2.0, 1, (1, 1)),    # integer step
                                       (2.25, 1, (5, 4)),   # quarter step
-                                      (2.0, 2, (1, 2))])   # binned half step
+                                      (2.0, 2, (1, 2)),    # binned half step
+                                      (5.5, 1, (9, 2))])   # snapped practical R
 def test_rescan_strip_placement_matches_spectral(monkeypatch, r, b, pq):
     """The rational-step strip engine (integer strip sums + per-class
     end-of-image spectral residues, imaging/rescan.py) equals the per-frame
