@@ -13,6 +13,7 @@ from rescan_line_sted_tpu.physics.models import (  # noqa: F401
     GaussianDonutModel,
     GaussianStripeModel,
     PupilDonutModel,
+    VectorialDonutModel,
 )
 from rescan_line_sted_tpu.physics.noise import poisson_counts  # noqa: F401
 from rescan_line_sted_tpu.physics.dose import (  # noqa: F401

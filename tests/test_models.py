@@ -107,6 +107,61 @@ def test_enveloped_stripe_through_line_engine():
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_vectorial_donut_polarization_physics():
+    """Richards-Wolf vectorial donut (r3): the on-axis null survives ONLY
+    with circular polarization co-handed with the vortex; counter-handed
+    circular has the charge-0 z-field FILL the null, linear fills it
+    partially. The classic STED quarter-wave-plate interlock."""
+    from rescan_line_sted_tpu.physics.models import VectorialDonutModel
+
+    p = PointSTEDParams.create(sigma_dep=4.0)
+    c = 64
+    dep = {}
+    for pol in ("circular+", "circular-", "linear-x"):
+        d = np.asarray(VectorialDonutModel(na=0.9, polarization=pol)
+                       .depletion((128, 128), p))
+        assert abs(d.max() - 1.0) < 1e-6
+        dep[pol] = d
+    assert dep["circular+"][c, c] < 1e-4          # null preserved
+    assert dep["circular-"][c, c] > 0.1           # z-field fills the null
+    assert dep["circular+"][c, c] < dep["linear-x"][c, c] \
+        < dep["circular-"][c, c]                  # partial fill in between
+    # paraxial limit: vectorial co-handed -> scalar vortex donut
+    from rescan_line_sted_tpu.physics.models import PupilDonutModel
+    lo = np.asarray(VectorialDonutModel(na=0.2, polarization="circular+")
+                    .depletion((128, 128), p))
+    sc = np.asarray(PupilDonutModel().depletion((128, 128), p))
+    assert np.abs(lo - sc).max() < 0.05           # few-% apodization residue
+    # ring calibration still matched to sigma_dep * sqrt(2) at high NA
+    row = dep["circular+"][c]
+    ring = np.argmax(row[c:])
+    want = np.sqrt(2.0) * 4.0
+    assert abs(ring - want) / want < 0.25
+
+
+def test_vectorial_donut_through_engine():
+    """Misaligned polarization measurably degrades STED resolution through
+    the full engine -- the model seam carries real alignment physics."""
+    from rescan_line_sted_tpu.algorithms.metrics import fwhm_2d
+    from rescan_line_sted_tpu.imaging.analytic import point_system_kernel
+    from rescan_line_sted_tpu.physics.models import VectorialDonutModel
+
+    kern = jax.jit(lambda p: point_system_kernel(SHAPE, p))
+    f = {}
+    for pol in ("circular+", "circular-"):
+        p8 = PointSTEDParams.create(
+            depletion=8.0, model=VectorialDonutModel(polarization=pol))
+        f[pol] = float(fwhm_2d(kern(p8))[1])
+    f0 = float(fwhm_2d(kern(PointSTEDParams.create(depletion=0.0)))[1])
+    assert f["circular+"] < f["circular-"] <= f0 * 1.05
+    img = point_sted_image(
+        SAMPLE, PointSTEDParams.create(
+            depletion=8.0, brightness=100.0,
+            model=VectorialDonutModel()), PointSTEDGeometry(Grid(*SHAPE)),
+        key=jax.random.key(0)).image
+    assert np.isfinite(np.asarray(img)).all()
+
+
 def test_model_rides_vmap_and_dose():
     """The static model field survives vmap (dose sweep) and changes the
     dose ledger consistently (pupil donut has different total intensity)."""
