@@ -93,7 +93,7 @@ def _psf_report(args) -> None:
     igeom = RescanPointGeometry(Grid(*shape), rescan_factor=2.0)
     ism_y, ism_x = jax.jit(lambda: fwhm_2d(rescan_point_system_kernel(
         igeom, PointSTEDParams.create(depletion=args.depletion))))()
-    print(json.dumps({
+    report = {
         "depletion": args.depletion,
         "point_fwhm_x": float(point.fwhm_x),
         "point_fwhm_y": float(point.fwhm_y),
@@ -102,7 +102,25 @@ def _psf_report(args) -> None:
         # ISM (rescanned point, R=2) in sample pixels: canvas FWHM / R
         "ism_fwhm_x": float(ism_x) / 2.0,
         "ism_fwhm_y": float(ism_y) / 2.0,
-    }))
+    }
+    if args.vectorial:
+        # Richards-Wolf vectorial donut: per-polarization null depth and
+        # achieved STED resolution (physics/models.VectorialDonutModel)
+        from rescan_line_sted_tpu.imaging.analytic import point_system_kernel
+        from rescan_line_sted_tpu.physics.models import VectorialDonutModel
+
+        c = args.size // 2
+        for pol in ("circular+", "circular-", "linear-x"):
+            model = VectorialDonutModel(na=args.na, polarization=pol)
+            p = PointSTEDParams.create(depletion=args.depletion, model=model)
+            fy, fx = jax.jit(lambda p=p: fwhm_2d(
+                point_system_kernel(shape, p)))()
+            null = float(model.depletion(shape, p)[c, c])
+            key = pol.replace("+", "_co").replace("-", "_counter") \
+                if pol.startswith("circular") else pol.replace("-", "_")
+            report[f"vectorial_{key}_null"] = null
+            report[f"vectorial_{key}_fwhm_x"] = float(fx)
+    print(json.dumps(report))
 
 
 def main(argv=None) -> None:
@@ -162,6 +180,11 @@ def main(argv=None) -> None:
     rep = sub.add_parser("psf-report", help="print system-kernel resolutions")
     rep.add_argument("--size", type=int, default=128)
     rep.add_argument("--depletion", type=float, default=8.0)
+    rep.add_argument("--vectorial", action="store_true",
+                     help="add Richards-Wolf vectorial-donut null depth "
+                          "and STED resolution per polarization")
+    rep.add_argument("--na", type=float, default=0.9,
+                     help="numerical aperture for --vectorial")
     rep.set_defaults(func=_psf_report)
 
     args = parser.parse_args(argv)

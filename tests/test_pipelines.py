@@ -69,9 +69,16 @@ def test_cli_figure_and_psf_report(tmp_path, capsys):
     metrics = json.loads(out[-1])
     assert metrics["pipeline"] == "comparison"
 
-    cli_main(["psf-report", "--size", "64", "--depletion", "8"])
+    cli_main(["psf-report", "--size", "64", "--depletion", "8",
+              "--vectorial"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["point_fwhm_x"] < rep["line_fwhm_y"]
+    # vectorial panel: co-handed null is clean, counter-handed fill
+    # degrades the achieved resolution
+    assert rep["vectorial_circular_co_null"] < 1e-4 \
+        < rep["vectorial_circular_counter_null"]
+    assert rep["vectorial_circular_co_fwhm_x"] \
+        < rep["vectorial_circular_counter_fwhm_x"]
 
 
 def test_fusion_pipeline_rescan_modality(tmp_path):
