@@ -12,6 +12,7 @@ from rescan_line_sted_tpu.physics.models import (  # noqa: F401
     EnvelopedStripeModel,
     GaussianDonutModel,
     GaussianStripeModel,
+    InterferenceStripeModel,
     PupilDonutModel,
     VectorialDonutModel,
 )

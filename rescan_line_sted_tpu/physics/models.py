@@ -232,6 +232,46 @@ class EnvelopedStripeModel:
         return out / jnp.maximum(jnp.max(out), 1e-30)
 
 
+@dataclasses.dataclass(frozen=True)
+class InterferenceStripeModel:
+    """Two-beam interference stripe with polarization-limited visibility --
+    the line-STED analog of ``VectorialDonutModel``'s alignment physics.
+
+    Two plane waves crossing at half-angle ``theta`` (set by the period:
+    ``sin theta = wavelength_px / (2 * stripe_period)``) interfere with
+    fringe visibility 1 for s-polarization (fields parallel, out of the
+    incidence plane) but only ``|cos 2 theta|`` for p-polarization (the
+    in-plane field vectors are rotated by ``2 theta`` between the beams),
+    so a p-polarized depletion stripe has its nulls FILLED by
+    ``(1 - v) / (1 + v)`` of the peak -- unbleachable background right on
+    the scanned line, capping line-STED resolution exactly like the
+    counter-handed donut caps point-STED.
+
+    ``I(x) = (1 - v cos(2 pi x / P)) / (1 + v)``, peak-normalized; v = 1
+    is the default ``sin^2`` stripe's closed form (equal to f32 rounding).
+    """
+
+    polarization: str = "s"
+    wavelength_px: float = 4.0
+
+    def excitation(self, width: int, params) -> jnp.ndarray:
+        return psfs.line_excitation_profile(width, params.sigma_exc)
+
+    def depletion(self, width: int, params) -> jnp.ndarray:
+        if self.polarization == "s":
+            vis = jnp.float32(1.0)
+        elif self.polarization == "p":
+            sin_th = jnp.clip(
+                self.wavelength_px / (2.0 * params.stripe_period), 0.0, 1.0)
+            cos2 = 1.0 - 2.0 * sin_th * sin_th       # cos(2 theta)
+            vis = jnp.abs(cos2)
+        else:
+            raise ValueError(f"unknown polarization {self.polarization!r}")
+        x = jnp.arange(width, dtype=jnp.float32) - (width // 2)
+        fringe = jnp.cos(2.0 * jnp.pi * x / params.stripe_period)
+        return (1.0 - vis * fringe) / (1.0 + vis)
+
+
 DEFAULT_POINT_MODEL = GaussianDonutModel()
 DEFAULT_LINE_MODEL = GaussianStripeModel()
 
