@@ -522,14 +522,19 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
               and (per_step or (band is not None and band[1] is not None)))
     strips = strips if hybrid and band is not None \
         and band[1] is not None else None
-    # Placement einsums run at _PLACE_PRECISION in BOTH noise modes: the
-    # physics (conv) matmuls keep _PRECISION, and the bf16x3 placement of
-    # the noise-free window measures 8.3e-6 precision-only deviation vs
-    # HIGHEST at 512^2 R=5.41 (5.8e-6 at R=2.5) -- inside the 1e-5 bar --
-    # for +34% collapsed throughput at the wide-canvas practical operating
-    # point R~5.4 where no strip structure exists (K ~ wc/2 columns;
-    # measured A/B in docs/PERFORMANCE.md).
-    dft_prec = _PLACE_PRECISION
+    # Placement einsums: per-step always runs _PLACE_PRECISION (bf16x3 --
+    # operands are sampled integer counts, parity is statistical).
+    # Collapsed ALSO runs bf16x3 when the DFT contraction is short enough
+    # to hold the 1e-5 noise-free parity bar: measured 8.3e-6 deviation vs
+    # HIGHEST at the bench config's 128-row frame window (512^2 R=5.41;
+    # 5.8e-6 at R=2.5) for +34% collapsed throughput where no strip
+    # structure exists. Rounding grows ~sqrt(rows), so wider windows
+    # (big sigma_det: 384-512 rows) would blow the bar -- those keep
+    # HIGHEST (config.matmul_precision: HIGH is ~8e-6 by 512 terms).
+    contract_rows = (band[1] // b if band is not None
+                     and band[1] is not None else w // b)
+    dft_prec = _PLACE_PRECISION if per_step or contract_rows <= 128 \
+        else _PRECISION
     if strips is not None:
         # Rational-step strip placement (see _scan): static per-chunk
         # geometry. Frame c of a chunk places at integer extended-canvas
@@ -668,9 +673,10 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
                 frames_t = poisson_rows_tiered(k, _rebin(cam_t, b))
                 dre, dim = dft_pair
             # forward rDFT of each frame as two MXU matmuls (zero padding to
-            # wc folds into keeping only the frame rows of the DFT matrix).
-            # Per-step runs bf16x3 (operands are sampled integer counts);
-            # collapsed keeps the noise-free path's full precision.
+            # wc folds into keeping only the frame rows of the DFT matrix)
+            # at dft_prec -- bf16x3 for per-step and for short collapsed
+            # windows, HIGHEST for wide collapsed windows (see the
+            # dft_prec gate above).
             sre = jnp.einsum("cxh,xk->ckh", frames_t, dre,
                              preferred_element_type=jnp.float32,
                              precision=dft_prec)

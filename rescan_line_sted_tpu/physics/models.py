@@ -51,6 +51,24 @@ from rescan_line_sted_tpu.physics import psf as psfs
 _VORTEX_RING_CONST = 0.3925
 
 
+def _pupil_grid(sigma_dep, shape: tuple[int, int]):
+    """Shared vortex-pupil prologue: frequency grids, azimuth, and the
+    ring-calibrated aperture mask (first intensity ring at
+    ``sigma_dep * sqrt(2)``, DC sample excluded -- the vortex phase is
+    singular there and the lone unpaired discrete sample would break the
+    exact on-axis null: every (k, -k) pair cancels, k = 0 has no partner).
+    Returns ``(fr, phi, f_max, mask)``."""
+    h, w = shape
+    fy = jnp.fft.fftfreq(h).astype(jnp.float32)[:, None]
+    fx = jnp.fft.fftfreq(w).astype(jnp.float32)[None, :]
+    fr = jnp.sqrt(fy * fy + fx * fx)
+    phi = jnp.arctan2(fy, fx)
+    f_max = _VORTEX_RING_CONST / (jnp.sqrt(2.0) * sigma_dep)
+    f_max = jnp.minimum(f_max, 0.5)  # aperture cannot exceed Nyquist
+    mask = jnp.where((fr <= f_max) & (fr > 0.0), 1.0, 0.0)
+    return fr, phi, f_max, mask
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "charge"))
 def _vortex_donut(sigma_dep, *, shape: tuple[int, int],
                   charge: int) -> jnp.ndarray:
@@ -61,17 +79,7 @@ def _vortex_donut(sigma_dep, *, shape: tuple[int, int],
     ``imaging/rescan_point.py``'s analytic wrappers); jitting here inlines
     for free under an outer jit and keeps eager callers working.
     """
-    h, w = shape
-    fy = jnp.fft.fftfreq(h).astype(jnp.float32)[:, None]
-    fx = jnp.fft.fftfreq(w).astype(jnp.float32)[None, :]
-    fr = jnp.sqrt(fy * fy + fx * fx)
-    theta = jnp.arctan2(fy, fx)
-    f_max = _VORTEX_RING_CONST / (jnp.sqrt(2.0) * sigma_dep)
-    f_max = jnp.minimum(f_max, 0.5)  # aperture cannot exceed Nyquist
-    # exclude the DC sample: the vortex phase is singular there and the
-    # lone unpaired discrete sample would break the exact on-axis null
-    # (every (k, -k) pair cancels; k = 0 has no partner)
-    mask = jnp.where((fr <= f_max) & (fr > 0.0), 1.0, 0.0)
+    _, theta, _, mask = _pupil_grid(sigma_dep, shape)
     pupil = jax.lax.complex(mask * jnp.cos(charge * theta),
                             mask * jnp.sin(charge * theta))
     field = jnp.fft.fftshift(jnp.fft.ifft2(pupil))
@@ -136,14 +144,7 @@ def _vectorial_donut(sigma_dep, *, shape: tuple[int, int], charge: int,
     ``sigma_dep * sqrt(2)``, NA-exact in the paraxial limit; at NA ~ 0.9
     the vectorial ring sits a few % wider -- physics, not a bug).
     """
-    h, w = shape
-    fy = jnp.fft.fftfreq(h).astype(jnp.float32)[:, None]
-    fx = jnp.fft.fftfreq(w).astype(jnp.float32)[None, :]
-    fr = jnp.sqrt(fy * fy + fx * fx)
-    phi = jnp.arctan2(fy, fx)
-    f_max = _VORTEX_RING_CONST / (jnp.sqrt(2.0) * sigma_dep)
-    f_max = jnp.minimum(f_max, 0.5)
-    mask = jnp.where((fr <= f_max) & (fr > 0.0), 1.0, 0.0)
+    fr, phi, f_max, mask = _pupil_grid(sigma_dep, shape)
     # f = f_max maps to theta_max = asin(na): focal angles scale with the
     # pupil radius under the Abbe sine condition (r = f_lens sin th)
     sin_th = jnp.clip(fr / jnp.maximum(f_max, 1e-30), 0.0, 1.0) * na
