@@ -354,6 +354,16 @@ def test_legacy_point_per_step_mean_matches_collapsed(monkeypatch):
     got = point_sted_image(sample, params, geom, key=jax.random.key(0),
                            method="scan", noise_mode="per_step").image
     assert rel_err(got, want) < 1e-5
+    # raster rebuild from stacked scan outputs: chunks crossing rows of a
+    # non-square odd-width grid still tile the image exactly
+    hh, ww = 40, 45
+    odd = samples.siemens_star((hh, ww), spokes=5)
+    og = PointSTEDGeometry(Grid(hh, ww), chunk=36)  # 36 | 1800, crosses rows
+    o_want = point_sted_image(odd, params, og, key=None,
+                              method="scan").image
+    o_got = point_sted_image(odd, params, og, key=jax.random.key(0),
+                             method="scan", noise_mode="per_step").image
+    assert rel_err(o_got, o_want) < 1e-5
 
 
 def test_point_band_gating():
