@@ -274,9 +274,12 @@ def _line_band(params, w: int, chunk: int) -> tuple[int, int] | None:
     are neither produced nor sampled (their noise cannot reach the image --
     the fused megakernel's slit-window argument). Exact: the slit profile
     has hard support. None when any needed parameter is traced, a custom
-    illumination model is installed, or the windows don't pay.
+    illumination model with a non-default EXCITATION is installed (custom
+    depletion keeps the band; models.py ``gaussian_excitation``), or the
+    windows don't pay.
     """
-    if getattr(params, "model", None) is not None:
+    m = getattr(params, "model", None)
+    if m is not None and not getattr(m, "gaussian_excitation", False):
         return None
     # static support fields ride the params treedef (config.py), so banding
     # survives params passed as jit arguments / vmapped

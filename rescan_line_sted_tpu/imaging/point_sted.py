@@ -214,8 +214,9 @@ def _point_band(params, h: int, w: int,
     static ``*_support`` fields, custom illumination model) or the
     windows would not be smaller than the field.
     """
-    if getattr(params, "model", None) is not None:
-        return None
+    m = getattr(params, "model", None)
+    if m is not None and not getattr(m, "gaussian_excitation", False):
+        return None  # unknown excitation support -> full-frame fallback
     s_exc = getattr(params, "exc_support", None)
     pin = getattr(params, "pin_support", None)
     try:

@@ -449,9 +449,13 @@ def _illum_band(params, w: int, chunk: int,
     is None when the frame window would not be narrower than the frame
     (banded conv only); the whole return is None when nothing pays, a
     sigma is traced (vmapped over), the binning misaligns the window, or a
-    custom illumination model is installed (unknown support).
+    custom illumination model with a non-default EXCITATION is installed
+    (unknown support; custom DEPLETION generators keep the band -- the
+    effective line <= the Gaussian excitation envelope regardless, see
+    models.GaussianDonutModel.gaussian_excitation).
     """
-    if getattr(params, "model", None) is not None:
+    m = getattr(params, "model", None)
+    if m is not None and not getattr(m, "gaussian_excitation", False):
         return None
     # static support fields ride the params treedef (config.py), so banding
     # survives params passed as jit arguments / vmapped; a concrete sigma

@@ -90,7 +90,17 @@ def _vortex_donut(sigma_dep, *, shape: tuple[int, int],
 @dataclasses.dataclass(frozen=True)
 class GaussianDonutModel:
     """Default point-STED illumination: the closed forms of physics/psf.py
-    (Gaussian excitation, ``u e^{1-u}`` LG01-like donut)."""
+    (Gaussian excitation, ``u e^{1-u}`` LG01-like donut).
+
+    ``gaussian_excitation = True`` (here and on every shipped model whose
+    ``excitation`` builder is the package's standard Gaussian) tells the
+    banded-window engines that the params' static ``exc_support`` bound
+    applies: the effective PSF ``exc * exp(-s dep) <= exc`` for ANY
+    depletion generator, so custom DEPLETION models keep the fast banded
+    routes. A user model with a wider excitation must leave it False
+    (the default) and takes the full-frame fallback."""
+
+    gaussian_excitation = True
 
     def excitation(self, shape: tuple[int, int], params) -> jnp.ndarray:
         return psfs.gaussian_psf(shape, params.sigma_exc)
@@ -108,6 +118,8 @@ class PupilDonutModel:
     topological charge m (1 = LG01-like). Exact zero on axis for any m >= 1
     (the pupil integral of ``e^{i m theta}`` vanishes by symmetry).
     """
+
+    gaussian_excitation = True
 
     charge: int = 1
 
@@ -186,6 +198,8 @@ class VectorialDonutModel:
     half-angle, water/air-normalized).
     """
 
+    gaussian_excitation = True
+
     charge: int = 1
     na: float = 0.9
     polarization: str = "circular+"
@@ -204,6 +218,8 @@ class GaussianStripeModel:
     """Default line-STED illumination: Gaussian excitation line profile,
     ``sin^2`` standing-wave depletion stripe (physics/psf.py)."""
 
+    gaussian_excitation = True
+
     def excitation(self, width: int, params) -> jnp.ndarray:
         return psfs.line_excitation_profile(width, params.sigma_exc)
 
@@ -218,6 +234,8 @@ class EnvelopedStripeModel:
     has finite extent, so far-out stripe maxima carry less intensity than
     the idealized infinite ``sin^2`` field. Peak-normalized at the first
     maximum (``x = period/2``)."""
+
+    gaussian_excitation = True
 
     envelope_sigmas: float = 4.0
 
@@ -251,6 +269,8 @@ class InterferenceStripeModel:
     ``I(x) = (1 - v cos(2 pi x / P)) / (1 + v)``, peak-normalized; v = 1
     is the default ``sin^2`` stripe's closed form (equal to f32 rounding).
     """
+
+    gaussian_excitation = True
 
     polarization: str = "s"
     wavelength_px: float = 4.0

@@ -283,8 +283,19 @@ def test_illum_band_gating():
     p = LineSTEDParams.create(sigma_exc=3.0)
     assert _illum_band(p, 512, 32) == (128, 128)
     assert _illum_band(p, 128, 32) is None          # D == w: no gain
+    # custom DEPLETION with default Gaussian excitation keeps the band
     pm = LineSTEDParams.create(sigma_exc=3.0, model=EnvelopedStripeModel())
-    assert _illum_band(pm, 512, 32) is None         # unknown support
+    assert _illum_band(pm, 512, 32) == (128, 128)
+
+    class WideExcModel:  # no gaussian_excitation attr -> unknown support
+        def excitation(self, width, params):
+            return jnp.ones((width,), jnp.float32)
+
+        def depletion(self, width, params):
+            return jnp.zeros((width,), jnp.float32)
+
+    pw = LineSTEDParams.create(sigma_exc=3.0, model=WideExcModel())
+    assert _illum_band(pw, 512, 32) is None         # unknown support
     # concrete jnp array sigma works (float() succeeds on concrete arrays)
     assert _illum_band(LineSTEDParams.create(sigma_exc=2.0), 512, 32) \
         == (128, 128)
@@ -373,9 +384,53 @@ def test_point_band_gating():
     p = PointSTEDParams.create(sigma_exc=3.0, pinhole_radius=4.0)
     assert _point_band(p, 512, 512, 64) is not None
     assert _point_band(p, 48, 48, 16) is None       # windows >= field
+    # custom DEPLETION with the default Gaussian excitation keeps the
+    # band (eff <= exc regardless of the depletion generator)
     pm = PointSTEDParams.create(sigma_exc=3.0, model=PupilDonutModel())
-    assert _point_band(pm, 512, 512, 64) is None    # unknown support
+    assert _point_band(pm, 512, 512, 64) is not None
+
+    class WideExcModel:  # no gaussian_excitation attr -> unknown support
+        def excitation(self, shape, params):
+            return jnp.ones(shape, jnp.float32)
+
+        def depletion(self, shape, params):
+            return jnp.zeros(shape, jnp.float32)
+
+    pw = PointSTEDParams.create(sigma_exc=3.0, model=WideExcModel())
+    assert _point_band(pw, 512, 512, 64) is None    # unknown support
     assert _point_band(p, 512, 512, 60) is None     # chunk must divide w
+
+
+def test_banded_point_scan_with_custom_depletion_model():
+    """The banded per-step point engine is the route for custom-DEPLETION
+    models (r3: gaussian_excitation contract); its noise-free pipeline
+    matches the collapsed closed form built through the same model."""
+    from rescan_line_sted_tpu.imaging.point_sted import (
+        _banded_point_scan,
+        _point_band,
+    )
+    from rescan_line_sted_tpu.physics import psf as psfs
+    from rescan_line_sted_tpu.physics.models import (
+        VectorialDonutModel,
+        effective_point_psf,
+    )
+
+    h = w = 64
+    geom = PointSTEDGeometry(Grid(h, w), chunk=16)
+    params = PointSTEDParams.create(
+        sigma_exc=1.5, sigma_det=1.5, sigma_dep=1.5, depletion=4.0,
+        pinhole_radius=2.5, brightness=50.0,
+        model=VectorialDonutModel(polarization="circular-"))
+    band = _point_band(params, h, w, geom.chunk)
+    assert band is not None
+    sample = samples.siemens_star((h, w), spokes=6)
+    eff = effective_point_psf((h, w), params)
+    pin = psfs.pinhole_mask((h, w), params.pinhole_radius)
+    got = _banded_point_scan(sample, params, geom, jax.random.key(0),
+                             eff, pin, band, draw_noise=False)
+    want = point_sted_image(sample, params, geom, key=None,
+                            method="scan").image
+    assert rel_err(got, want) < 1e-5
 
 
 @pytest.mark.parametrize("r, b, pq", [(2.0, 1, (1, 1)),    # integer step
@@ -408,3 +463,29 @@ def test_rescan_strip_placement_matches_spectral(monkeypatch, r, b, pq):
     assert abs(step * pq[1] - round(step * pq[1])) < 1e-9
     assert int(round(step * pq[1])) == pq[0]
     assert rel_err(got, want) < 1e-5
+
+
+def test_rescan_windowed_with_custom_depletion_model(monkeypatch):
+    """The windowed collapsed rescan pipeline (TPU routing forced, plain
+    XLA ops) is exact with a custom DEPLETION model riding the Gaussian
+    excitation band (r3 gaussian_excitation contract): strips path at
+    rational R and rDFT placement at irrational R both match the
+    plain-path scan built through the same model."""
+    from rescan_line_sted_tpu.imaging import rescan as rescan_mod
+    from rescan_line_sted_tpu.physics.models import EnvelopedStripeModel
+
+    w = h = 256
+    sample = samples.siemens_star((h, w), spokes=10)
+    params = LineSTEDParams.create(depletion=8.0, sigma_exc=3.0,
+                                   sigma_det=3.0, brightness=50.0,
+                                   model=EnvelopedStripeModel())
+    assert rescan_mod._illum_band(params, w, 32, 1) is not None
+    for r in (2.5, 2.7183):  # rational (strips) and irrational (rDFT)
+        geom = RescanGeometry(Grid(h, w), rescan_factor=r, chunk=32)
+        want = rescanned_line_sted_image(sample, params, geom,
+                                         method="scan").image
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        got = rescanned_line_sted_image(sample, params, geom,
+                                        method="scan").image
+        monkeypatch.undo()
+        assert rel_err(got, want) < 1e-5
