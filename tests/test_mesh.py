@@ -176,6 +176,32 @@ def test_spatially_sharded_rescan_scan_path():
     assert noisy.shape == geom.canvas_shape
 
 
+def test_spatially_sharded_rescan_strips_path(monkeypatch):
+    """The rational-step STRIP placement (collapsed default on TPU at
+    rational R, incl. the snapped practical recommendation) compiles and
+    matches under GSPMD with the sample's rows sharded over 'space'.
+    TPU routing is forced by patching the backend probe; the strips path
+    is plain XLA (masked strip sums + dynamic slice-adds), so the CPU
+    mesh executes it faithfully."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    geom = RescanGeometry(Grid(*SHAPE), rescan_factor=2.5, chunk=16)
+    params = replicate(mesh, LBASE.replace(depletion=jnp.float32(4.0)))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    want = rescanned_line_sted_image(
+        SAMPLE, LBASE.replace(depletion=jnp.float32(4.0)), geom,
+        method="scan").image
+    sample = jax.device_put(SAMPLE, NamedSharding(mesh, P("space", None)))
+    got = jax.jit(lambda s, p: rescanned_line_sted_image(
+        s, p, geom, method="scan").image)(sample, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_spatially_sharded_rescan_fusion():
     """Operator-form rescan fusion with the canvases' rows sharded over
     'space' (VERDICT r2 item 2): the exact-adjoint RL loop runs under GSPMD
