@@ -195,6 +195,22 @@ def test_interference_stripe_polarization_physics():
     assert f["s"] < f["p"]
 
 
+def test_model_error_surfaces():
+    import pytest
+
+    from rescan_line_sted_tpu.physics.models import (
+        InterferenceStripeModel,
+        VectorialDonutModel,
+    )
+
+    p = PointSTEDParams.create()
+    with pytest.raises(ValueError, match="polarization"):
+        VectorialDonutModel(polarization="elliptical").depletion((32, 32), p)
+    lp = LineSTEDParams.create()
+    with pytest.raises(ValueError, match="polarization"):
+        InterferenceStripeModel(polarization="d").depletion(32, lp)
+
+
 def test_model_rides_vmap_and_dose():
     """The static model field survives vmap (dose sweep) and changes the
     dose ledger consistently (pupil donut has different total intensity)."""
