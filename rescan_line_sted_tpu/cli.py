@@ -67,7 +67,27 @@ def _figure(args) -> None:
             "(use the engine-level boundary= argument in the API)")
     for name in names:
         metrics = runners[name]()
-        print(json.dumps(metrics, default=float))
+        print(json.dumps(_json_safe(metrics), default=float))
+
+
+def _json_safe(obj):
+    """Map non-finite floats to None: the metrics contract uses NaN for
+    'no measurable value' (e.g. fwhm_2d on a filled STED null), but bare
+    NaN in json.dumps output is not RFC-compliant JSON -- strict parsers
+    (jq, JSON.parse) reject the whole document."""
+    import math
+
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, (str, bool, int)) or obj is None:
+        return obj
+    try:
+        f = float(obj)  # Python/numpy/jax float scalars
+    except (TypeError, ValueError):
+        return obj
+    return f if math.isfinite(f) else None
 
 
 def _psf_report(args) -> None:
@@ -120,7 +140,7 @@ def _psf_report(args) -> None:
                 if pol.startswith("circular") else pol.replace("-", "_")
             report[f"vectorial_{key}_null"] = null
             report[f"vectorial_{key}_fwhm_x"] = float(fx)
-    print(json.dumps(report))
+    print(json.dumps(_json_safe(report)))
 
 
 def main(argv=None) -> None:

@@ -170,6 +170,20 @@ def _support(sigma, pad: int = 5) -> int | None:
         return None
 
 
+def _aperture_support(radius, pad: int = 2) -> int | None:
+    """Static half-width (px) bounding a hard aperture (pinhole radius /
+    slit half-width). None when ``radius`` is traced.
+
+    The single source of truth for the banded engines' aperture windows:
+    ``create`` fills the ``*_support`` fields with it, and the engines'
+    band gates fall back to it for hand-built params (the two must agree
+    or the windows would disagree with the params' static supports)."""
+    try:
+        return int(float(radius)) + pad
+    except Exception:
+        return None
+
+
 @struct.dataclass
 class PointSTEDParams:
     """Physics of a point-STED acquisition (all traced f32 scalars).
@@ -210,10 +224,7 @@ class PointSTEDParams:
     def create(cls, sigma_exc=3.0, sigma_det=3.0, sigma_dep=3.0,
                depletion=0.0, pinhole_radius=4.0, brightness=100.0,
                model=None):
-        try:
-            pin_sup = int(float(pinhole_radius)) + 2
-        except Exception:
-            pin_sup = None
+        pin_sup = _aperture_support(pinhole_radius)
         return cls(_f(sigma_exc), _f(sigma_det), _f(sigma_dep),
                    _f(depletion), _f(pinhole_radius), _f(brightness),
                    model=model,
@@ -265,10 +276,7 @@ class LineSTEDParams:
     def create(cls, sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
                depletion=0.0, slit_halfwidth=4.0, brightness=100.0,
                model=None):
-        try:
-            slit_sup = int(float(slit_halfwidth)) + 2
-        except Exception:
-            slit_sup = None
+        slit_sup = _aperture_support(slit_halfwidth)
         return cls(_f(sigma_exc), _f(sigma_det), _f(stripe_period),
                    _f(depletion), _f(slit_halfwidth), _f(brightness),
                    model=model,

@@ -178,9 +178,9 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
     # windows are available it is the per-step default; the megakernel
     # stays reachable with use_pallas=True and remains the default when
     # banding is unavailable (traced params / custom illumination models).
-    banded_available = _line_band(params, w, chunk) is not None
+    band = _line_band(params, w, chunk)
     if (on_tpu and vmem_ok and slit_fits and use_pallas is not False
-            and (use_pallas is True or not banded_available)):
+            and (use_pallas is True or band is None)):
         from rescan_line_sted_tpu.kernels.line_fused import line_sted_fused
 
         seed = jax.random.randint(key, (2,), 0, jnp.iinfo(jnp.int32).max,
@@ -201,7 +201,8 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
     # window, and only the D_out columns the slit can read are produced and
     # sampled -- all tables chunk-invariant.
     hybrid = on_tpu and use_pallas is not False
-    band = _line_band(params, w, chunk) if hybrid else None
+    if not hybrid:
+        band = None
     if hybrid:
         from rescan_line_sted_tpu.kernels.poisson_pallas import (
             poisson_rows_tiered,
@@ -283,14 +284,12 @@ def _line_band(params, w: int, chunk: int) -> tuple[int, int] | None:
         return None
     # static support fields ride the params treedef (config.py), so banding
     # survives params passed as jit arguments / vmapped
-    s_exc = getattr(params, "exc_support", None)
-    slit_hw = getattr(params, "slit_support_px", None)
-    try:
-        if s_exc is None:
-            s_exc = int(6.5 * float(params.sigma_exc)) + 5
-        if slit_hw is None:
-            slit_hw = int(float(params.slit_halfwidth)) + 2
-    except Exception:
+    from rescan_line_sted_tpu.config import _aperture_support, _support
+
+    s_exc = getattr(params, "exc_support", None) or _support(params.sigma_exc)
+    slit_hw = (getattr(params, "slit_support_px", None)
+               or _aperture_support(params.slit_halfwidth))
+    if s_exc is None or slit_hw is None:
         return None
     d_in = -(-(chunk + 2 * s_exc) // 128) * 128
     if d_in >= w:

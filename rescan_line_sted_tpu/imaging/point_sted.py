@@ -217,14 +217,12 @@ def _point_band(params, h: int, w: int,
     m = getattr(params, "model", None)
     if m is not None and not getattr(m, "gaussian_excitation", False):
         return None  # unknown excitation support -> full-frame fallback
-    s_exc = getattr(params, "exc_support", None)
-    pin = getattr(params, "pin_support", None)
-    try:
-        if s_exc is None:
-            s_exc = int(6.5 * float(params.sigma_exc)) + 5
-        if pin is None:
-            pin = int(float(params.pinhole_radius)) + 2
-    except Exception:
+    from rescan_line_sted_tpu.config import _aperture_support, _support
+
+    s_exc = getattr(params, "exc_support", None) or _support(params.sigma_exc)
+    pin = (getattr(params, "pin_support", None)
+           or _aperture_support(params.pinhole_radius))
+    if s_exc is None or pin is None:
         return None
     if w % chunk:
         return None  # chunks must not cross rows

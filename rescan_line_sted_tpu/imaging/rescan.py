@@ -225,8 +225,21 @@ def practical_rescan_factor(params: RescanParams, width: int,
 
     eff = effective_line_profile(width, params)
     sigma_ill = fwhm_1d(eff) / 2.3548200450309493
+    return practical_factor_from_sigmas(sigma_ill, params.sigma_det,
+                                        tolerance, cap, snap)
+
+
+def practical_factor_from_sigmas(sigma_ill, sigma_det,
+                                 tolerance: float = 0.05,
+                                 cap: float | None = None,
+                                 snap: int | None = 8) -> jnp.ndarray:
+    """The closed-form tolerance-band solve behind both
+    ``practical_rescan_factor`` (line) and the point/ISM variant
+    (``rescan_point.practical_rescan_factor_point``) -- see the former's
+    docstring for the derivation. One implementation so a change to the
+    tolerance/snap semantics applies to both modalities."""
     si2 = jnp.square(sigma_ill)
-    sd2 = jnp.square(params.sigma_det)
+    sd2 = jnp.square(sigma_det)
     target = (1.0 + tolerance) ** 2 * si2 * sd2 / (si2 + sd2)
     disc = jnp.maximum(si2 * si2 - (si2 + sd2) * (si2 - target), 0.0)
     t = (si2 + jnp.sqrt(disc)) / (si2 + sd2)
@@ -360,11 +373,16 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # the A/B (scripts/perf_strips_ab.py) measures the sampler output
     # fusing better into the rDFT matmul than into the masked strip sums
     # (63.5k vs 66.7k steps/s at 512^2 R=2), while collapsed gains 11-21%.
+    # use_pallas=False (the documented multi-chip/sharded route) declines
+    # the whole windowed-hybrid family in _scan_fallback, so building its
+    # DFT tables would only cost memory AND defeat the chunk-8 re-chunk
+    # below (which keys off dft_pair is None).
     windowed_collapsed = (not per_step and on_tpu
+                          and use_pallas is not False
                           and windowed is not None
                           and windowed[1] is not None)
     import os
-    if windowed_collapsed and use_pallas is not False \
+    if windowed_collapsed \
             and os.environ.get("RLS_RESCAN_STRIPS", "1") != "0":
         step = (float(geom.rescan_factor) - 1.0) / b
         for q_try in (1, 2, 4, 8) if subpixel else (1,):
@@ -388,9 +406,6 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         ph = np.exp(-2j * np.pi * kk[None, :] * offs[:, None] / wc)
         ph_pair = (jnp.asarray(ph.real.astype(np.float32)),      # [W, K]
                    jnp.asarray(ph.imag.astype(np.float32)))
-        windowed_collapsed = (not per_step and on_tpu
-                              and windowed is not None
-                              and windowed[1] is not None)
         if (per_step and hybrid_ok) or windowed_collapsed:
             # The forward rDFT runs as a real-DFT MXU matmul instead of the
             # XLA FFT custom call. Per-step: the FFT measures ~4x slower
@@ -460,14 +475,11 @@ def _illum_band(params, w: int, chunk: int,
     # static support fields ride the params treedef (config.py), so banding
     # survives params passed as jit arguments / vmapped; a concrete sigma
     # is the fallback for hand-built params
-    s_exc = getattr(params, "exc_support", None)
-    s_det = getattr(params, "det_support", None)
-    try:
-        if s_exc is None:
-            s_exc = int(6.5 * float(params.sigma_exc)) + 5
-        if s_det is None:
-            s_det = int(6.5 * float(params.sigma_det)) + 5
-    except Exception:
+    from rescan_line_sted_tpu.config import _support
+
+    s_exc = getattr(params, "exc_support", None) or _support(params.sigma_exc)
+    s_det = getattr(params, "det_support", None) or _support(params.sigma_det)
+    if s_exc is None or s_det is None:
         return None  # traced sigma and no static support bound
     d_in = -(-(chunk + 2 * s_exc) // 128) * 128  # MXU-friendly contraction
     if d_in >= w:

@@ -126,20 +126,14 @@ def practical_rescan_factor_point(params: PointSTEDParams, size: int,
     acquisitions where the exact optimum's R x field canvas is impractical.
     """
     from rescan_line_sted_tpu.algorithms.metrics import fwhm_1d
+    from rescan_line_sted_tpu.imaging.rescan import (
+        practical_factor_from_sigmas,
+    )
 
     eff = effective_point_psf((size, size), params)
     sigma_ill = fwhm_1d(eff[size // 2]) / 2.3548200450309493
-    si2 = jnp.square(sigma_ill)
-    sd2 = jnp.square(params.sigma_det)
-    target = (1.0 + tolerance) ** 2 * si2 * sd2 / (si2 + sd2)
-    disc = jnp.maximum(si2 * si2 - (si2 + sd2) * (si2 - target), 0.0)
-    t = (si2 + jnp.sqrt(disc)) / (si2 + sd2)
-    r = jnp.maximum(1.0 / jnp.maximum(t, 1e-12), 1.0)
-    if snap:
-        r = jnp.minimum(jnp.ceil(r * snap) / snap, 1.0 + sd2 / si2)
-    if cap is not None:
-        r = jnp.minimum(r, cap)
-    return r
+    return practical_factor_from_sigmas(sigma_ill, params.sigma_det,
+                                        tolerance, cap, snap)
 
 
 def rescanned_point_sted_image(
