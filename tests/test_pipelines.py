@@ -62,16 +62,25 @@ def test_ism_pipeline(tmp_path):
     assert m["ism_sted_fwhm_sample_px"] < m["ism_confocal_fwhm_sample_px"]
 
 
+def _strict_loads(s: str):
+    """json.loads that rejects NaN/Infinity like RFC parsers (jq,
+    JSON.parse) do — Python's default silently accepts them, which is
+    exactly the bug _json_safe exists to prevent."""
+    def no_const(c):
+        raise ValueError(f"non-RFC JSON constant in CLI output: {c}")
+    return json.loads(s, parse_constant=no_const)
+
+
 def test_cli_figure_and_psf_report(tmp_path, capsys):
     cli_main(["figure", "comparison", "--out", str(tmp_path / "f"),
               "--size", "48", "--dose-budget", "50"])
     out = capsys.readouterr().out.strip().splitlines()
-    metrics = json.loads(out[-1])
+    metrics = _strict_loads(out[-1])
     assert metrics["pipeline"] == "comparison"
 
     cli_main(["psf-report", "--size", "64", "--depletion", "8",
               "--vectorial"])
-    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rep = _strict_loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["point_fwhm_x"] < rep["line_fwhm_y"]
     # vectorial panel: co-handed null is clean, counter-handed fill
     # degrades the achieved resolution
@@ -79,6 +88,23 @@ def test_cli_figure_and_psf_report(tmp_path, capsys):
         < rep["vectorial_circular_counter_null"]
     assert rep["vectorial_circular_co_fwhm_x"] \
         < rep["vectorial_circular_counter_fwhm_x"]
+
+
+def test_cli_json_safe_maps_nonfinite_to_null():
+    """The metrics contract uses NaN for 'no measurable value'; the CLI
+    must emit RFC-compliant JSON (null), preserving everything else."""
+    from rescan_line_sted_tpu.cli import _json_safe
+
+    src = {"a": float("nan"), "b": float("inf"), "c": 1.5,
+           "nested": [np.float32("nan"), np.float64(2.0), "7", 3, True,
+                      None]}
+    got = _json_safe(src)
+    assert got["a"] is None and got["b"] is None and got["c"] == 1.5
+    assert got["nested"][0] is None
+    assert got["nested"][1] == 2.0
+    # strings/ints/bools/None pass through untouched (no float coercion)
+    assert got["nested"][2:] == ["7", 3, True, None]
+    _strict_loads(json.dumps(got))
 
 
 def test_fusion_pipeline_rescan_modality(tmp_path):
