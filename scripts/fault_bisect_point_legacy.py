@@ -9,6 +9,8 @@ stage is named on the command line.
         python scripts/fault_bisect_point_legacy.py good   # proven-safe ops
     PYTHONPATH=/root/repo:/root/.axon_site \
         python scripts/fault_bisect_point_legacy.py crash  # minimal crasher
+    PYTHONPATH=/root/repo:/root/.axon_site \
+        python scripts/fault_bisect_point_legacy.py fixed  # validate the fix
 
 Findings (2026-08-17, TPU v5 lite via the axon tunnel; each line one
 process, crash = `UNAVAILABLE: TPU worker process crashed or restarted`):
@@ -79,7 +81,52 @@ def main(stage: str) -> None:
     print(stage, float(run(stage, eff, pin, otf_x, otf_y, sample)))
 
 
+def fixed() -> None:
+    """Validate the RESTRUCTURED legacy engine at the exact crash config.
+
+    A model without ``gaussian_excitation`` forces the full-frame fallback
+    (the same routing real custom illumination models take), so this runs
+    the one-gather + static-pinhole-correlation body at 256^2 / chunk 256
+    end to end. Pass = completes without a worker fault and the noisy sum
+    tracks the collapsed noise-free image within 1%.
+    """
+    import time
+
+    import numpy as np
+
+    from rescan_line_sted_tpu.config import PointSTEDGeometry
+    from rescan_line_sted_tpu.imaging import point_sted_image
+
+    class CustomModel:
+        # gaussian_excitation deliberately absent -> legacy fallback
+        def excitation(self, shape, params):
+            return psfs.gaussian_psf(shape, params.sigma_exc)
+
+        def depletion(self, shape, params):
+            return psfs.donut_psf(shape, params.sigma_dep)
+
+    from rescan_line_sted_tpu.config import Grid
+
+    print("devices:", jax.devices(), flush=True)
+    geom = PointSTEDGeometry(Grid(H, W), chunk=CHUNK)
+    p = PointSTEDParams.create(depletion=16.0, brightness=100.0,
+                               model=CustomModel())
+    sample = samples.siemens_star((H, W))
+    noisefree = np.asarray(point_sted_image(sample, p, geom, key=None,
+                                            method="scan").image)
+    t0 = time.time()
+    img = np.asarray(point_sted_image(sample, p, geom,
+                                      key=jax.random.key(42), method="scan",
+                                      noise_mode="per_step").image)
+    ratio = img.sum() / max(noisefree.sum(), 1e-9)
+    print(f"fixed legacy per-step {H}x{W} chunk={CHUNK}: "
+          f"{time.time()-t0:.1f}s sum_ratio={ratio:.5f}", flush=True)
+    assert 0.99 < ratio < 1.01, ratio
+    assert np.isfinite(img).all()
+    print("FIXED-ENGINE VALIDATION PASSED", flush=True)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) != 2 or sys.argv[1] not in ("good", "crash"):
+    if len(sys.argv) != 2 or sys.argv[1] not in ("good", "crash", "fixed"):
         raise SystemExit(__doc__)
-    main(sys.argv[1])
+    fixed() if sys.argv[1] == "fixed" else main(sys.argv[1])
