@@ -5,3 +5,8 @@ from rescan_line_sted_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from rescan_line_sted_tpu.parallel.multihost import (  # noqa: F401
+    initialize_multihost,
+    is_initialized,
+    local_device_slice,
+)

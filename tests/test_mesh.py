@@ -1,6 +1,7 @@
 """Mesh-sharded execution tests on the virtual 8-device CPU mesh
 (SURVEY.md section 5.2.5: single-chip-safe distributed paths)."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -226,3 +227,36 @@ def test_spatially_sharded_rescan_fusion():
     want = rescan_fusion(canv, params, geom, angles, num_iter=10)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_multihost_initialize_single_process():
+    """initialize_multihost: no-op without a cluster environment; real
+    jax.distributed init with explicit single-process wiring; idempotent.
+    Runs in a subprocess because distributed state is process-global."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from rescan_line_sted_tpu.parallel import (
+            initialize_multihost, is_initialized, local_device_slice,
+            make_mesh)
+
+        assert not is_initialized()
+        assert initialize_multihost() == (0, 1)      # no cluster env: no-op
+        assert not is_initialized()
+        got = initialize_multihost("localhost:18476", num_processes=1,
+                                   process_id=0)
+        assert got == (0, 1) and is_initialized()
+        assert initialize_multihost() == (0, 1)      # idempotent
+        mesh = make_mesh()
+        assert local_device_slice(mesh, "batch") == (0, mesh.devices.shape[0])
+        print("MULTIHOST_OK")
+    """)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # subprocess forces cpu via jax.config
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "MULTIHOST_OK" in out.stdout, (out.stdout, out.stderr)
