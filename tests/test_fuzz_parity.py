@@ -118,3 +118,40 @@ def test_fuzz_rescan_fractional_R_binning(seed):
     got_p = rescanned_line_sted_image(padded, params, geom,
                                       method="analytic").image
     assert rel_err(got_p, want_p) < 1e-5, ("analytic", r, b, kw)
+
+
+@pytest.mark.parametrize("seed", (400, 403))
+def test_fuzz_banded_point_per_step(seed):
+    """The banded-window per-step point engine in the regime where the band
+    actually engages (supports small vs width: 256^2, see _point_band's
+    d_in < w gate -- the small-grid fuzz above never reaches it)."""
+    from rescan_line_sted_tpu.imaging.point_sted import (
+        _banded_point_scan,
+        _point_band,
+    )
+    from rescan_line_sted_tpu.physics import psf as psfs
+    from rescan_line_sted_tpu.physics.models import effective_point_psf
+
+    import jax
+
+    rng = np.random.default_rng(seed)
+    n = 256
+    chunk = int(rng.choice([32, 64]))
+    kw = dict(sigma_exc=float(rng.uniform(1.0, 2.0)),
+              sigma_det=float(rng.uniform(1.0, 2.0)),
+              sigma_dep=float(rng.uniform(1.0, 2.0)),
+              depletion=float(rng.uniform(0.0, 20.0)),
+              pinhole_radius=float(rng.uniform(1.0, 3.0)),
+              brightness=float(rng.uniform(0.5, 200.0)))
+    params = PointSTEDParams.create(**kw)
+    geom = PointSTEDGeometry(Grid(n, n), chunk=chunk)
+    band = _point_band(params, n, n, chunk)
+    assert band is not None, (chunk, kw)
+    sample = samples.siemens_star((n, n))
+    eff = effective_point_psf((n, n), params)
+    pin = psfs.pinhole_mask((n, n), params.pinhole_radius)
+    got = _banded_point_scan(sample, params, geom, jax.random.key(0),
+                             eff, pin, band, draw_noise=False)
+    want = point_sted_image(sample, params, geom, key=None,
+                            method="scan").image
+    assert rel_err(got, want) < 1e-5, (seed, chunk, kw, band)
