@@ -15,13 +15,25 @@ Run: PYTHONPATH=. python examples/scaling.py
 sharded paths actually run; on real hardware it uses what is there)
 """
 
+import importlib.util
 import os
 
-if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    # Demo fallback ONLY: give the example a real mesh on a 1-chip/CPU box.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+# Virtual-mesh fallback when the user explicitly chose CPU, or when no
+# accelerator plugin exists to choose. An UNSET platform with a TPU/GPU
+# plugin installed is real hardware: leave the environment alone so the
+# example uses what is there.
+_want_virtual = _plat == "cpu" or (
+    _plat == ""
+    and importlib.util.find_spec("libtpu") is None
+    and importlib.util.find_spec("jax_cuda12_plugin") is None)
+if _want_virtual and "xla_force_host_platform_device_count" not in \
+        os.environ.get("XLA_FLAGS", ""):
+    # Demo fallback: provision a virtual 8-device CPU mesh so the sharded
+    # paths actually execute on an accelerator-less (or forced-cpu) box.
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8").strip()
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 import jax.numpy as jnp

@@ -286,9 +286,14 @@ def _line_band(params, w: int, chunk: int) -> tuple[int, int] | None:
     # survives params passed as jit arguments / vmapped
     from rescan_line_sted_tpu.config import _aperture_support, _support
 
-    s_exc = getattr(params, "exc_support", None) or _support(params.sigma_exc)
-    slit_hw = (getattr(params, "slit_support_px", None)
-               or _aperture_support(params.slit_halfwidth))
+    # explicit is-None tests: a legitimate 0 support must not be treated
+    # as missing (falsy) and re-derived from a possibly-traced width
+    s_exc = getattr(params, "exc_support", None)
+    if s_exc is None:
+        s_exc = _support(params.sigma_exc)
+    slit_hw = getattr(params, "slit_support_px", None)
+    if slit_hw is None:
+        slit_hw = _aperture_support(params.slit_halfwidth)
     if s_exc is None or slit_hw is None:
         return None
     d_in = -(-(chunk + 2 * s_exc) // 128) * 128

@@ -219,9 +219,14 @@ def _point_band(params, h: int, w: int,
         return None  # unknown excitation support -> full-frame fallback
     from rescan_line_sted_tpu.config import _aperture_support, _support
 
-    s_exc = getattr(params, "exc_support", None) or _support(params.sigma_exc)
-    pin = (getattr(params, "pin_support", None)
-           or _aperture_support(params.pinhole_radius))
+    # explicit is-None tests: a legitimate 0 support must not be treated
+    # as missing (falsy) and re-derived from a possibly-traced width
+    s_exc = getattr(params, "exc_support", None)
+    if s_exc is None:
+        s_exc = _support(params.sigma_exc)
+    pin = getattr(params, "pin_support", None)
+    if pin is None:
+        pin = _aperture_support(params.pinhole_radius)
     if s_exc is None or pin is None:
         return None
     if w % chunk:

@@ -477,8 +477,14 @@ def _illum_band(params, w: int, chunk: int,
     # is the fallback for hand-built params
     from rescan_line_sted_tpu.config import _support
 
-    s_exc = getattr(params, "exc_support", None) or _support(params.sigma_exc)
-    s_det = getattr(params, "det_support", None) or _support(params.sigma_det)
+    # explicit is-None tests: a legitimate 0 support must not be treated
+    # as missing (falsy) and re-derived from a possibly-traced width
+    s_exc = getattr(params, "exc_support", None)
+    if s_exc is None:
+        s_exc = _support(params.sigma_exc)
+    s_det = getattr(params, "det_support", None)
+    if s_det is None:
+        s_det = _support(params.sigma_det)
     if s_exc is None or s_det is None:
         return None  # traced sigma and no static support bound
     d_in = -(-(chunk + 2 * s_exc) // 128) * 128  # MXU-friendly contraction

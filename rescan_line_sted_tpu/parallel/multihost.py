@@ -30,8 +30,7 @@ import jax
 
 def is_initialized() -> bool:
     """True when the process is already part of a distributed runtime."""
-    state = getattr(jax._src.distributed, "global_state", None)
-    return bool(state is not None and state.client is not None)
+    return bool(jax.distributed.is_initialized())
 
 
 def initialize_multihost(coordinator_address: str | None = None,
@@ -45,38 +44,55 @@ def initialize_multihost(coordinator_address: str | None = None,
       size, rank) -- any launcher (mpirun, SLURM, k8s) can drive it.
     * Without arguments: ``jax.distributed.initialize`` auto-detects the
       cluster from the environment (TPU pod metadata, SLURM/OMPI vars).
-      When there is no cluster environment at all, auto-detection cannot
-      identify a coordinator; that case is treated as single-process and
-      the call is a NO-OP rather than an error, so single-chip runs and
-      multi-host runs share one code path.
+      When auto-detection finds NO cluster at all it raises the specific
+      "coordinator_address should be defined" ValueError; that one case is
+      treated as single-process and the call is a NO-OP, so single-chip
+      runs and multi-host runs share one code path. Every other failure
+      (mis-wired cluster, version skew, timeout) propagates -- a real
+      cluster must never silently degrade to N independent worlds.
     * Idempotent: a second call returns the existing wiring.
     """
     if is_initialized():
         return jax.process_index(), jax.process_count()
-    if coordinator_address is None and num_processes is None:
-        try:
-            from jax._src.clusters import ClusterEnv
-
-            auto = ClusterEnv.auto_detect_unset_distributed_params(
-                None, None, None, None, None, None)
-        except Exception:
-            auto = (None,)
-        if not auto or auto[0] is None:
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id, **kwargs)
+    except ValueError as e:
+        if (coordinator_address is None and num_processes is None
+                and "coordinator_address" in str(e)):
             return 0, 1  # no cluster environment: single process
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id, **kwargs)
+        raise
     return jax.process_index(), jax.process_count()
 
 
 def local_device_slice(mesh, axis_name: str) -> tuple[int, int]:
-    """Index range ``[lo, hi)`` of ``axis_name`` owned by THIS process.
+    """Index range ``[lo, hi)`` of ``axis_name`` whose devices this process
+    owns -- for host-side work (loading samples, writing per-shard TIFFs)
+    that must touch only the shards this host will feed to
+    ``jax.make_array_from_single_device_arrays``.
 
-    For host-side work (loading samples, writing per-shard TIFFs) that must
-    touch only the shard a host will feed to ``jax.make_array_from_*``.
+    Ownership is read off the mesh's device array (NOT assumed from the
+    process id): an axis index is local when any of its devices is this
+    process's. Raises when the local indices are not one contiguous range
+    (e.g. the trailing axis of a process-major mesh, where every process
+    touches every index) -- a per-index mask, not a slice, is the correct
+    tool there.
     """
+    import numpy as np
+
     axis = mesh.axis_names.index(axis_name)
-    size = mesh.devices.shape[axis]
-    per = -(-size // max(jax.process_count(), 1))
-    lo = min(jax.process_index() * per, size)
-    return lo, min(lo + per, size)
+    moved = np.moveaxis(mesh.devices, axis, 0)
+    proc = jax.process_index()
+    local = [i for i in range(moved.shape[0])
+             if any(d.process_index == proc
+                    for d in np.atleast_1d(moved[i]).flat)]
+    if not local:
+        raise ValueError(f"process {proc} owns no devices on {axis_name!r}")
+    lo, hi = local[0], local[-1] + 1
+    if local != list(range(lo, hi)):
+        raise ValueError(
+            f"process {proc}'s devices are not contiguous along "
+            f"{axis_name!r} (indices {local}); use a per-index ownership "
+            "mask instead of a slice")
+    return lo, hi

@@ -247,7 +247,13 @@ def test_multihost_initialize_single_process():
         assert not is_initialized()
         assert initialize_multihost() == (0, 1)      # no cluster env: no-op
         assert not is_initialized()
-        got = initialize_multihost("localhost:18476", num_processes=1,
+        # ephemeral port: a hard-coded one collides under parallel runs
+        import socket
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        got = initialize_multihost(f"localhost:{port}", num_processes=1,
                                    process_id=0)
         assert got == (0, 1) and is_initialized()
         assert initialize_multihost() == (0, 1)      # idempotent
@@ -260,3 +266,38 @@ def test_multihost_initialize_single_process():
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=300)
     assert "MULTIHOST_OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_local_device_slice_ownership_semantics():
+    """local_device_slice reads ownership off the device array itself:
+    contiguous leading-axis blocks slice per process, an axis every process
+    touches returns the full range, non-contiguous ownership raises."""
+    import types
+
+    from rescan_line_sted_tpu.parallel.multihost import local_device_slice
+
+    def dev(p):
+        return types.SimpleNamespace(process_index=p)
+
+    # 2 hosts x 4 chips, mesh (batch=4, space=2), process-major layout:
+    # host 0 owns rows 0-1 of 'batch' but BOTH columns of 'space'.
+    devices = np.array([[dev(0), dev(0)], [dev(0), dev(0)],
+                        [dev(1), dev(1)], [dev(1), dev(1)]])
+    mesh = types.SimpleNamespace(axis_names=("batch", "space"),
+                                 devices=devices)
+    assert local_device_slice(mesh, "batch") == (0, 2)   # this proc is 0
+    assert local_device_slice(mesh, "space") == (0, 2)   # full range
+
+    # non-contiguous ownership along 'batch' -> explicit error, not a
+    # silently wrong slice
+    devices_nc = np.array([[dev(0)], [dev(1)], [dev(0)], [dev(1)]])
+    mesh_nc = types.SimpleNamespace(axis_names=("batch",), devices=devices_nc)
+    with pytest.raises(ValueError, match="not contiguous"):
+        local_device_slice(mesh_nc, "batch")
+
+    # a process owning nothing on the axis -> explicit error
+    devices_other = np.array([[dev(1)], [dev(1)]])
+    mesh_o = types.SimpleNamespace(axis_names=("batch",),
+                                   devices=devices_other)
+    with pytest.raises(ValueError, match="owns no devices"):
+        local_device_slice(mesh_o, "batch")
