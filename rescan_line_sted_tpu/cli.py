@@ -158,6 +158,12 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],
         help="force a JAX backend (default: environment's choice)")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="join the multi-process runtime before running (TPU pods / "
+             "SLURM; parallel.initialize_multihost env auto-detection). "
+             "Opt-in: single-host boxes with pod-like env vars must not "
+             "accidentally wait on a coordinator.")
     sub = parser.add_subparsers(dest="command", required=True)
 
     fig = sub.add_parser("figure", help="run a figure-equivalent pipeline")
@@ -212,6 +218,12 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from rescan_line_sted_tpu.parallel import initialize_multihost
+
+        proc, nprocs = initialize_multihost()
+        logging.getLogger(__name__).info(
+            "multihost: process %d/%d", proc, nprocs)
     args.func(args)
 
 
