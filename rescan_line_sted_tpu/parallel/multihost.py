@@ -51,6 +51,10 @@ def initialize_multihost(coordinator_address: str | None = None,
       (mis-wired cluster, version skew, timeout) propagates -- a real
       cluster must never silently degrade to N independent worlds.
     * Idempotent: a second call returns the existing wiring.
+    * Ordering: must run BEFORE the process's first backend use (any
+      computation, ``jax.devices()``, ...); jax itself raises a
+      RuntimeError otherwise, which propagates unchanged -- swallowing it
+      on a pod would silently split the job into per-host worlds.
     """
     if is_initialized():
         return jax.process_index(), jax.process_count()

@@ -177,3 +177,23 @@ def test_dose_sweep_pipeline_with_ism_arm(tmp_path):
     # cropped ISM canvases land back on the R-magnified requested field
     img = tif_to_array(str(tmp_path / "dose_sweep_images_ism_smax.tif"))
     assert img.shape == (96, 96)
+
+
+def test_cli_multihost_flag_single_process():
+    """--multihost is a safe no-op off-pod (no cluster env -> single
+    process) and must not disturb the pipeline run. Subprocess: jax
+    requires distributed init BEFORE the first backend use, which the CLI
+    satisfies in a fresh process (this test process has already used jax)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "rescan_line_sted_tpu.cli", "--multihost",
+         "--platform", "cpu", "psf-report", "--size", "48",
+         "--depletion", "4"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    rep = _strict_loads(out.stdout.strip().splitlines()[-1])
+    assert rep["depletion"] == 4.0
