@@ -480,7 +480,38 @@ def bench_oracle_line_step_at(n: int, steps: int = 16) -> float:
     return (time.perf_counter() - t0) / steps
 
 
+def _probe_devices(timeout_s: int = 240) -> bool:
+    """Device-init watchdog. During axon-worker recovery, ``jax.devices()``
+    hangs indefinitely (no error, no timeout), which would hang the whole
+    bench run; probing in a subprocess bounds it. 240 s is far above a
+    healthy tunnel's init time."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_devices():
+        print(json.dumps({
+            "metric": "e2e_dose_sweep_speedup_vs_cpu_numpy",
+            "value": 0,
+            "unit": "x",
+            "vs_baseline": 0,
+            "details": {
+                "hardware_unavailable": True,
+                "error": "device init hung/failed >240s (axon tunnel "
+                         "outage / worker recovery); no measurement taken "
+                         "-- see prior BENCH_r*.json for real numbers",
+            },
+        }))
+        raise SystemExit(1)
     assert jax.devices(), "no devices"
     backend = jax.default_backend()
     # Persistent compilation cache (measured 119.6 s -> 1.7 s for the
