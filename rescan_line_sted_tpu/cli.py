@@ -71,23 +71,11 @@ def _figure(args) -> None:
 
 
 def _json_safe(obj):
-    """Map non-finite floats to None: the metrics contract uses NaN for
-    'no measurable value' (e.g. fwhm_2d on a filled STED null), but bare
-    NaN in json.dumps output is not RFC-compliant JSON -- strict parsers
-    (jq, JSON.parse) reject the whole document."""
-    import math
+    """RFC-compliant JSON mapping (NaN/inf -> null); one canonical
+    implementation in utils/observability.py, shared with emit_metrics."""
+    from rescan_line_sted_tpu.utils.observability import json_safe
 
-    if isinstance(obj, dict):
-        return {k: _json_safe(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return [_json_safe(v) for v in obj]
-    if isinstance(obj, (str, bool, int)) or obj is None:
-        return obj
-    try:
-        f = float(obj)  # Python/numpy/jax float scalars
-    except (TypeError, ValueError):
-        return obj
-    return f if math.isfinite(f) else None
+    return json_safe(obj)
 
 
 def _psf_report(args) -> None:

@@ -109,9 +109,30 @@ def time_fn(fn, *args, warmup: int = 1, iters: int = 5):
     return (time.perf_counter() - t0) / iters, first
 
 
+def json_safe(obj):
+    """Map non-finite floats to None, recursively: the metrics contract
+    uses NaN for 'no measurable value' (e.g. fwhm_2d on a filled STED
+    null), but bare NaN in json.dumps output is not RFC-compliant JSON --
+    strict parsers (jq, JSON.parse) reject the whole document."""
+    import math
+
+    if isinstance(obj, dict):
+        return {k: json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_safe(v) for v in obj]
+    if isinstance(obj, (str, bool, int)) or obj is None:
+        return obj
+    try:
+        f = float(obj)  # Python/numpy/jax float scalars
+    except (TypeError, ValueError):
+        return obj
+    return f if math.isfinite(f) else None
+
+
 def emit_metrics(metrics: dict, path: str | None = None) -> str:
-    """Log a metrics dict and optionally append it to a JSON-lines or CSV file."""
-    line = json.dumps(metrics, sort_keys=True, default=float)
+    """Log a metrics dict and optionally append it to a JSON-lines or CSV
+    file (non-finite floats become JSON null -- see ``json_safe``)."""
+    line = json.dumps(json_safe(metrics), sort_keys=True, default=float)
     logger.info("metrics %s", line)
     if path:
         if path.endswith(".csv"):

@@ -84,3 +84,17 @@ def test_enable_compilation_cache_paths(monkeypatch, tmp_path):
     assert enable_compilation_cache() == str(tmp_path / "env")
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
     assert enable_compilation_cache() == ""
+
+
+def test_emit_metrics_jsonl_is_rfc_compliant(tmp_path):
+    """NaN metrics (the 'no measurable value' contract) must land as JSON
+    null in metrics.jsonl, not as bare NaN that jq/JSON.parse reject."""
+    path = str(tmp_path / "metrics.jsonl")
+    emit_metrics({"fwhm": float("nan"), "ok": 1.5}, path)
+    [line] = open(path).read().splitlines()
+
+    def no_const(c):
+        raise AssertionError(f"non-RFC constant in metrics.jsonl: {c}")
+
+    rec = json.loads(line, parse_constant=no_const)
+    assert rec["fwhm"] is None and rec["ok"] == 1.5
