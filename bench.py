@@ -497,8 +497,34 @@ def _probe_devices(timeout_s: int = 240) -> bool:
         return False
 
 
+def _wait_for_devices() -> bool:
+    """Retry the device probe across an axon-worker outage window.
+
+    Tunnel outages after a worker crash run 10 min to multiple hours; one
+    failed probe should not forfeit the round's measurements. Probes every
+    2 min until the budget (``RLS_BENCH_DEVICE_WAIT_S``, default 45 min,
+    0 = single probe) runs out; progress goes to stderr so a caller
+    tailing the log sees waiting, not a hang."""
+    import sys
+
+    budget_s = float(os.environ.get("RLS_BENCH_DEVICE_WAIT_S", "2700"))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_devices():
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(f"bench: device init probe {attempt} failed (axon tunnel "
+              f"down?); retrying for {remaining / 60:.0f} more min",
+              file=sys.stderr, flush=True)
+        time.sleep(min(120.0, remaining))
+
+
 def main():
-    if not _probe_devices():
+    if not _wait_for_devices():
         print(json.dumps({
             "metric": "e2e_dose_sweep_speedup_vs_cpu_numpy",
             "value": 0,
@@ -506,9 +532,11 @@ def main():
             "vs_baseline": 0,
             "details": {
                 "hardware_unavailable": True,
-                "error": "device init hung/failed >240s (axon tunnel "
-                         "outage / worker recovery); no measurement taken "
-                         "-- see prior BENCH_r*.json for real numbers",
+                "error": "device init hung/failed through the full "
+                         "RLS_BENCH_DEVICE_WAIT_S retry window (axon "
+                         "tunnel outage / worker recovery); no measurement "
+                         "taken -- see prior BENCH_r*.json for real "
+                         "numbers",
             },
         }))
         raise SystemExit(1)
