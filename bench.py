@@ -480,51 +480,75 @@ def bench_oracle_line_step_at(n: int, steps: int = 16) -> float:
     return (time.perf_counter() - t0) / steps
 
 
-def _probe_devices(timeout_s: int = 240) -> bool:
+def _probe_devices(timeout_s: int = 240) -> "tuple[bool, str]":
     """Device-init watchdog. During axon-worker recovery, ``jax.devices()``
     hangs indefinitely (no error, no timeout), which would hang the whole
     bench run; probing in a subprocess bounds it. 240 s is far above a
-    healthy tunnel's init time."""
+    healthy tunnel's init time. A healthy run pays one extra device init
+    for this (tens of seconds through the tunnel) -- accepted: the parent
+    cannot bound its OWN first ``jax.devices()`` call, so probing up front
+    is the only way to avoid an unbounded hang on the common full-outage
+    case. (A tunnel that drops in the window between a successful probe
+    and the parent's init can still hang the parent; callers should run
+    bench.py under their own overall timeout.)
+
+    Returns ``(ok, diagnostic)`` -- the tail of the probe's stderr on
+    failure, so a persistent non-outage failure (missing plugin, version
+    skew) is not misreported as a tunnel outage."""
     import subprocess
     import sys
 
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode == 0:
+            return True, ""
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-8:]
+        return False, "probe exited {}: {}".format(
+            r.returncode, " | ".join(tail))
     except subprocess.TimeoutExpired:
-        return False
+        return False, f"probe hung >{timeout_s}s (no output)"
 
 
-def _wait_for_devices() -> bool:
+def _wait_for_devices() -> "tuple[bool, str]":
     """Retry the device probe across an axon-worker outage window.
 
     Tunnel outages after a worker crash run 10 min to multiple hours; one
     failed probe should not forfeit the round's measurements. Probes every
     2 min until the budget (``RLS_BENCH_DEVICE_WAIT_S``, default 45 min,
     0 = single probe) runs out; progress goes to stderr so a caller
-    tailing the log sees waiting, not a hang."""
+    tailing the log sees waiting, not a hang. Returns ``(ok, last
+    diagnostic)``."""
     import sys
 
-    budget_s = float(os.environ.get("RLS_BENCH_DEVICE_WAIT_S", "2700"))
+    raw = os.environ.get("RLS_BENCH_DEVICE_WAIT_S", "2700")
+    try:
+        budget_s = float(raw)
+    except ValueError:
+        print(f"bench: ignoring malformed RLS_BENCH_DEVICE_WAIT_S={raw!r}; "
+              "using default 2700", file=sys.stderr, flush=True)
+        budget_s = 2700.0
     deadline = time.monotonic() + budget_s
     attempt = 0
+    diag = ""
     while True:
         attempt += 1
-        if _probe_devices():
-            return True
+        ok, diag = _probe_devices()
+        if ok:
+            return True, ""
         remaining = deadline - time.monotonic()
         if remaining <= 0:
-            return False
-        print(f"bench: device init probe {attempt} failed (axon tunnel "
-              f"down?); retrying for {remaining / 60:.0f} more min",
+            return False, diag
+        print(f"bench: device init probe {attempt} failed ({diag}); "
+              f"retrying for {remaining / 60:.0f} more min",
               file=sys.stderr, flush=True)
         time.sleep(min(120.0, remaining))
 
 
 def main():
-    if not _wait_for_devices():
+    dev_ok, dev_diag = _wait_for_devices()
+    if not dev_ok:
         print(json.dumps({
             "metric": "e2e_dose_sweep_speedup_vs_cpu_numpy",
             "value": 0,
@@ -537,6 +561,7 @@ def main():
                          "tunnel outage / worker recovery); no measurement "
                          "taken -- see prior BENCH_r*.json for real "
                          "numbers",
+                "last_probe_diagnostic": dev_diag,
             },
         }))
         raise SystemExit(1)

@@ -131,8 +131,11 @@ def json_safe(obj):
 
 def emit_metrics(metrics: dict, path: str | None = None) -> str:
     """Log a metrics dict and optionally append it to a JSON-lines or CSV
-    file (non-finite floats become JSON null -- see ``json_safe``)."""
-    line = json.dumps(json_safe(metrics), sort_keys=True, default=float)
+    file. Non-finite floats are sanitized in BOTH formats (see
+    ``json_safe``): JSON null in .jsonl, an empty cell in .csv -- so the
+    two outputs of the same metrics never diverge."""
+    safe = json_safe(metrics)
+    line = json.dumps(safe, sort_keys=True, default=float)
     logger.info("metrics %s", line)
     if path:
         if path.endswith(".csv"):
@@ -141,7 +144,8 @@ def emit_metrics(metrics: dict, path: str | None = None) -> str:
                 writer = csv.DictWriter(f, fieldnames=sorted(metrics))
                 if not exists:
                     writer.writeheader()
-                writer.writerow(metrics)
+                writer.writerow({k: ("" if v is None else v)
+                                 for k, v in safe.items()})
         else:
             with open(path, "a") as f:
                 f.write(line + "\n")

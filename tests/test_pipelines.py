@@ -187,7 +187,11 @@ def test_cli_multihost_flag_single_process():
     import subprocess
     import sys
 
-    env = dict(os.environ)
+    env = {k: v for k, v in os.environ.items()
+           # Strip cluster-manager vars: jax.distributed.initialize
+           # auto-detects SLURM/OMPI/MPI and would block on a coordinator
+           # that doesn't exist when the suite runs inside such a job.
+           if not k.startswith(("SLURM", "OMPI_", "PMI_", "PMIX_"))}
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-m", "rescan_line_sted_tpu.cli", "--multihost",
