@@ -155,16 +155,18 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
             poisson_rows_tiered,
         )
 
-    # Descanned pinhole detection runs as one batched FFT correlation with
-    # the STATIC pinhole, evaluated at the scan position -- NOT as a second
+    # Descanned pinhole detection runs as a spectral dot against the STATIC
+    # pinhole's OTF, evaluated at the scan position -- NOT as a second
     # [C, H, W] position-gather of the pinhole followed by a reduction.
     # Two full-frame shifted_images gathers feeding one loop body reliably
     # kill the axon TPU runtime at >= 256^2 (worker crash, ~10 min
     # recovery; bisected on hardware: one gather + the 1D-OTF convs +
     # reductions are each fine, adding the second gather faults even with
-    # the einsum replaced by a multiply-reduce). The correlation form uses
-    # only constructs the bisect proved good, and lets the raster image be
-    # rebuilt from scan's stacked outputs with no scatter at all.
+    # the einsum replaced by a multiply-reduce). correlate_otf_at gives the
+    # same pinhole-masked camera sum (centered-kernel convention, identical
+    # to the analytic collapse) for one rfft2 + an O(H*W/2) bilinear form
+    # per step -- no [C, H, W] inverse FFT, no gather, and the raster image
+    # is rebuilt from scan's stacked outputs with no scatter at all.
     pin_otf = fftconv.kernel_to_otf(pin)
 
     def body(_, chunk_in):
@@ -177,11 +179,8 @@ def _scan(sample, params, geom, key, noise_mode="collapsed"):
         mean = params.brightness * blurred
         cam = poisson_rows_tiered(k, mean) if on_tpu \
             else maybe_poisson(k, mean)
-        # corr[c, y, x] = sum_ij cam[c, i, j] * pin[(i-y+H//2)%H, (j-x+W//2)%W]
-        # == the pinhole-masked camera sum for a pinhole descanned to (y, x)
-        # (same centered-kernel convention as the analytic collapse).
-        corr = fftconv.correlate_otf(cam, pin_otf)
-        vals = corr[jnp.arange(pos.shape[0]), pos[:, 0], pos[:, 1]]
+        vals = fftconv.correlate_otf_at(cam, pin_otf, pos,
+                                        precision=_PRECISION)
         return None, vals
 
     _, vals = jax.lax.scan(body, None, xs)

@@ -45,6 +45,45 @@ def correlate_otf(img: jnp.ndarray, otf: jnp.ndarray, shape=None) -> jnp.ndarray
     return jnp.fft.irfft2(jnp.fft.rfft2(img) * jnp.conj(otf), s=shape)
 
 
+def correlate_otf_at(img: jnp.ndarray, otf: jnp.ndarray, pos: jnp.ndarray,
+                     precision=None) -> jnp.ndarray:
+    """Evaluate ``correlate_otf(img, otf)`` at ONE pixel per batch element,
+    skipping the inverse FFT (reference call stack 4.1's pinhole readout,
+    SURVEY.md section 4.1 -- the reference materializes the full camera
+    correlation and reads one value; here the readout is a spectral dot).
+
+    ``img``: real ``[C, H, W]``; ``otf``: ``[H, W//2+1]`` (or batched
+    ``[C, H, W//2+1]``); ``pos``: integer ``[C, 2]`` pixel coordinates
+    ``(y, x)``. Returns ``[C]`` real values equal to
+    ``correlate_otf(img, otf)[c, y_c, x_c]``.
+
+    The irfft2 of ``S = rfft2(img) * conj(otf)`` at a single ``(y, x)`` is
+    ``(1/(H W)) * Re( sum_{ky,kx} wx[kx] S[ky,kx] e^{2 pi i ky y / H}
+    e^{2 pi i kx x / W} )`` where ``wx`` folds the hermitian half of the
+    rfft axis (2 everywhere except 1 at ``kx = 0`` and, for even ``W``,
+    ``kx = W/2``). Cost: one O(H W/2) bilinear form per element instead of
+    the O(H W log H W) irfft2 plus a ``[C, H, W]`` real materialization.
+    Phase arguments are reduced with INTEGER modular arithmetic before the
+    f32 ``exp`` (``ky * y`` reaches ~(H-1)^2, far past f32's exact-integer
+    range for H >= 256).
+    """
+    h, w = img.shape[-2:]
+    wr = w // 2 + 1
+    spec = jnp.fft.rfft2(img) * jnp.conj(otf)
+    wx = jnp.full((wr,), 2.0, jnp.float32).at[0].set(1.0)
+    if w % 2 == 0:
+        wx = wx.at[-1].set(1.0)
+    ky = jnp.arange(h, dtype=jnp.int32)
+    kx = jnp.arange(wr, dtype=jnp.int32)
+    py = (pos[:, 0:1].astype(jnp.int32) * ky[None, :]) % h       # [C, H]
+    px = (pos[:, 1:2].astype(jnp.int32) * kx[None, :]) % w       # [C, Wr]
+    ey = jnp.exp((2j * jnp.pi / h) * py.astype(jnp.float32))
+    ex = jnp.exp((2j * jnp.pi / w) * px.astype(jnp.float32)) * wx
+    t = jnp.einsum("...hw,...w->...h", spec, ex, precision=precision)
+    vals = jnp.einsum("...h,...h->...", t, ey, precision=precision)
+    return vals.real / (h * w)
+
+
 def fft_convolve(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """One-shot circular convolution with a centered kernel."""
     return convolve_otf(img, kernel_to_otf(kernel))

@@ -67,3 +67,35 @@ def test_batched_convolve():
         single = fftconv.convolve_otf(imgs[i], otf)
         np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_correlate_otf_at_matches_full_correlation():
+    """Spectral single-pixel readout == full correlate_otf + gather, on
+    even and odd grid sizes (the odd case exercises the hermitian-fold
+    weights without a Nyquist column)."""
+    rng = np.random.default_rng(7)
+    for h, w in [(16, 16), (16, 24), (15, 17), (32, 15)]:
+        img = jnp.asarray(rng.random((5, h, w)), jnp.float32)
+        ker = jnp.asarray(rng.random((h, w)), jnp.float32)
+        otf = fftconv.kernel_to_otf(ker)
+        pos = jnp.asarray(rng.integers(0, [h, w], size=(5, 2)), jnp.int32)
+        full = fftconv.correlate_otf(img, otf)
+        want = full[jnp.arange(5), pos[:, 0], pos[:, 1]]
+        got = fftconv.correlate_otf_at(img, otf, pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_correlate_otf_at_large_coordinate_phase():
+    """Phase reduction must stay exact when ky * y overflows f32's
+    exact-integer range (~2^24): probe the far corner of a 512^2 grid,
+    where naive f32 phase accumulation would be off by radians."""
+    rng = np.random.default_rng(11)
+    h = w = 512
+    img = jnp.zeros((1, h, w), jnp.float32).at[0, h - 3, w - 2].set(1.0)
+    ker = jnp.asarray(rng.random((h, w)), jnp.float32)
+    otf = fftconv.kernel_to_otf(ker)
+    pos = jnp.asarray([[h - 1, w - 1]], jnp.int32)
+    want = fftconv.correlate_otf(img, otf)[0, h - 1, w - 1]
+    got = fftconv.correlate_otf_at(img, otf, pos)[0]
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4, atol=1e-5)
