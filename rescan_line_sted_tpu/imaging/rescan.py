@@ -323,8 +323,6 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
               and (use_pallas is True
                    or windowed is None or windowed[1] is None))
     if reassignment == "rounded" and fused_fits and fused_wanted:
-        from rescan_line_sted_tpu.kernels.rescan_fused import rescan_fused
-
         pos = jnp.arange(w)
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
@@ -333,9 +331,38 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             seed = jax.random.randint(key, (2,), 0,
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
-        canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,
-                              offsets, wc, binning=b, seed=seed,
-                              interpret=not on_tpu)
+        # Banded fused megakernel (r3 cont.): when the static band windows
+        # exist, the fused scan runs conv + sampling + scatter on the
+        # translating frame window only (kernels/rescan_banded_fused.py) --
+        # the window is W/d_out of the full-frame megakernel's conv and
+        # sampler work, with the same zero-HBM-round-trip structure.
+        # Rounded offsets are integers for ANY rescan factor, so this
+        # covers every rounded placement. RLS_BANDED_FUSED=0 reverts to
+        # the full-frame megakernel.
+        import os
+        banded_ok = (windowed is not None and windowed[1] is not None
+                     and chunk % 8 == 0 and (chunk * (windowed[1] // b))
+                     % 32 == 0
+                     and (windowed[1] // b + 7) // 8 * 8 + 8 <= wc
+                     and os.environ.get("RLS_BANDED_FUSED", "1") != "0")
+        if banded_ok:
+            from rescan_line_sted_tpu.kernels.rescan_banded_fused import (
+                rescan_banded_fused,
+            )
+
+            folded = rescan_banded_fused(
+                sample_y, params.brightness * eff, gx_mat, offsets,
+                wc=wc, d_in=windowed[0], d_out=windowed[1], chunk=chunk,
+                binning=b, seed=seed, interpret=not on_tpu)
+            canvas = folded[0].T
+        else:
+            from rescan_line_sted_tpu.kernels.rescan_fused import (
+                rescan_fused,
+            )
+
+            canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,
+                                  offsets, wc, binning=b, seed=seed,
+                                  interpret=not on_tpu)
         if key is not None and not per_step:
             canvas = maybe_poisson(key, canvas)
         return canvas

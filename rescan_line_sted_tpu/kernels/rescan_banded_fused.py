@@ -1,0 +1,276 @@
+"""Banded fused rescan scan-loop megakernel.
+
+One ``pallas_call`` executes the whole rescanned line-STED scan on the
+*banded windows* of ``imaging/rescan._illum_band`` (reference call stack
+4.3's per-position camera loop, SURVEY.md section 4.3): per chunk of scan
+positions it
+
+1. dynamic-slices the chunk's ``D_in``-column sample window from the
+   VMEM-resident (extended) sample,
+2. x-convolves with the CHUNK-INVARIANT binned conv table
+   ``[C, D_out/b, D_in]`` (illumination-scaled detection circulant window,
+   row binning folded in) as one MXU matmul,
+3. draws per-camera-frame shot noise in-register from the hardware PRNG
+   (tier-dispatched, ``store_poisson_tiered``), and
+4. scatter-accumulates every frame window into the canvas at its integer
+   per-position offset (8-aligned base + residual roll).
+
+This is the conv+sample+place fusion the windowed ``lax.scan`` hybrid
+(``rescan._scan_fallback``) cannot express: that engine streams each
+chunk's ``[C, D_out, H]`` window through HBM between the conv matmul, the
+Pallas sampler, and the MXU-rDFT placement matmuls. Here the canvas, the
+conv table, and the sample stay resident in VMEM for the whole grid and
+the rDFT placement stage disappears entirely -- integer scatter is exact
+(no bf16 placement rounding).
+
+Placement covers every *integer* per-position offset pattern, which via
+the rational-strip decomposition (see ``rescan._scan``) includes any
+rational offset step ``p/q``: position ``pos`` places at integer offset
+``int_offsets[pos]`` inside class canvas ``classes[pos]``, and the caller
+applies each class's fractional residue as one spectral shift afterwards.
+Rounded reassignment is the ``q = 1`` special case. Truly-irrational
+steps stay on the rDFT hybrid.
+
+Frame windows are UNWRAPPED camera coordinates: a window crossing the
+camera's periodic boundary splits at the one possible ``W/b`` multiple
+into two placements ``W/b`` apart (same argument as the strip engine);
+the split row and both canvas starts are precomputed per chunk/position
+as prefetch scalars, and the second placement is predicated off for the
+(majority of) chunks that do not cross.
+
+Sampler loops run as ``lax.fori_loop`` over 8-aligned ref slices rather
+than Python-unrolled sub-chunk calls, which keeps the Mosaic program size
+(and compile time) independent of the chunk width.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rescan_line_sted_tpu.config import matmul_precision
+
+_PRECISION = matmul_precision(pallas=True)
+_SUB_ROWS = 32  # sampler tier-dispatch granularity (rows of C*D_out/b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
+            swb_ref, sample_ext_ref, *rest,
+            chunk: int, d_in: int, dob: int, w_pad: int, noisy: bool,
+            n_tiles: int, binning: int):
+    if binning != 1:
+        bcol_ref, out_ref, cam_scratch, pad_scratch = rest
+    else:
+        out_ref, cam_scratch, pad_scratch = rest
+    t = pl.program_id(0)
+    ic = pl.program_id(1)
+
+    @pl.when(ic == 0)
+    def _init_canvas():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when((t == 0) & (ic == 0))
+    def _init_pad():
+        # rows [dob, w_pad) are the roll headroom; written once, never again
+        pad_scratch[:] = jnp.zeros_like(pad_scratch)
+
+    # chunk's sample window: rows [p0, p0 + d_in) of the extended sample
+    # (sample_ext[r] = sample^T[(r - s_in) % w], so the circular wrap is
+    # pre-unrolled; chunk % 8 == 0 keeps the dynamic sublane start aligned)
+    p0 = pl.multiple_of(ic * chunk, 8)
+    win = sample_ext_ref[pl.ds(p0, d_in), :]                 # [Di, Li]
+    cam = jnp.dot(swb_ref[...].reshape(chunk * dob, d_in), win,
+                  preferred_element_type=jnp.float32,
+                  precision=_PRECISION)                      # [C*dob, Li]
+    if binning != 1:
+        cam = jnp.dot(cam, bcol_ref[...],
+                      preferred_element_type=jnp.float32,
+                      precision=_PRECISION)                  # [C*dob, Lo]
+    if noisy:
+        from rescan_line_sted_tpu.kernels.poisson_pallas import (
+            store_poisson_tiered,
+        )
+
+        # clamp band-limited negative excursions (same contract as
+        # poisson_rows_tiered's wrapper) before drawing counts
+        cam_scratch[:] = jnp.maximum(cam, 0.0)
+        n_sub = (chunk * dob) // _SUB_ROWS
+        base_seed = (ic * n_tiles + t) * n_sub
+
+        def _sample(k2, carry):
+            rows = pl.ds(pl.multiple_of(k2 * _SUB_ROWS, 8), _SUB_ROWS)
+            store_poisson_tiered(cam_scratch, rows, cam_scratch[rows, :],
+                                 (seed_ref[0], seed_ref[1] + base_seed + k2))
+            return carry
+
+        jax.lax.fori_loop(0, n_sub, _sample, 0)
+    else:
+        cam_scratch[:] = cam
+
+    # place each frame window: rows below m0 are this camera period, rows
+    # at/after m0 wrapped into the next period (placed W/b earlier)
+    m0 = m0_ref[ic]
+    hi_mask = jax.lax.broadcasted_iota(
+        jnp.int32, (dob, cam_scratch.shape[-1]), 0) >= m0
+
+    def _place(c, carry):
+        pos = ic * chunk + c
+        fr = cam_scratch[pl.ds(pl.multiple_of(c * dob, 8), dob), :]
+        zero = jnp.zeros_like(fr)
+
+        def _add_at(off, frame):
+            base = pl.multiple_of((off // 8) * 8, 8)
+            pad_scratch[0:dob, :] = frame
+            out_ref[pl.ds(base, w_pad), :] += pltpu.roll(
+                pad_scratch[...], off % 8, 0)
+
+        _add_at(sa_lo_ref[pos], jnp.where(hi_mask, zero, fr))
+
+        @pl.when(m0 < dob)
+        def _hi():
+            _add_at(sa_hi_ref[pos], jnp.where(hi_mask, fr, zero))
+
+        return carry
+
+    jax.lax.fori_loop(0, chunk, _place, 0)
+
+
+def rescan_banded_fused(
+    sample_y: jnp.ndarray, eff_scaled: jnp.ndarray, gx_mat: jnp.ndarray,
+    int_offsets: jnp.ndarray, *, wc: int, d_in: int, d_out: int,
+    chunk: int, binning: int = 1, classes: jnp.ndarray | None = None,
+    q: int = 1, seed: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Banded fused rescan scan over all W column positions (module doc).
+
+    sample_y: [H, W] y-convolved sample; eff_scaled: [W] centered
+    brightness-scaled effective excitation profile; gx_mat: [W, W]
+    circulant of the detection x-profile (``cam = emitted @ gx_mat``);
+    int_offsets: [W] int32 INTEGER canvas column offsets (binned pixels)
+    per scan position; classes: [W] int32 class index in [0, q) (None =
+    all zero); d_in/d_out: the static band windows of
+    ``rescan._illum_band`` (d_out required); ``seed`` ([2] int32) draws
+    per-camera-frame shot noise in-kernel from the hardware PRNG (TPU
+    only; the interpreter's PRNG yields zeros), None = noise-free.
+
+    Returns folded class canvases ``[q, wc, H/b]`` in canvas-column-major
+    layout (transpose for the image); the caller applies per-class
+    fractional residues and sums classes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = sample_y.shape
+    b = binning
+    hb, wb = h // b, w // b
+    if d_out is None:
+        raise ValueError("banded fused scan needs a frame window (d_out)")
+    dob = d_out // b
+    if w % chunk or chunk % 8:
+        raise ValueError("chunk must divide W and be a multiple of 8")
+    if chunk % b or d_out % b or ((d_out - chunk) // 2) % b:
+        raise ValueError("binning must align the frame window")
+    if (chunk * dob) % _SUB_ROWS:
+        raise ValueError("chunk * d_out/b must be a multiple of 32")
+    w_pad = _round_up(dob, 8) + 8
+    if w_pad > wc:
+        raise ValueError("frame window wider than canvas; use the "
+                         "lax.scan engine")
+    wcp = _round_up(wc + w_pad, 8)  # class stride (8-aligned)
+    n_chunks = w // chunk
+    s_in = (d_in - chunk) // 2
+    s_out = (d_out - chunk) // 2
+
+    # chunk-invariant binned conv table [C, dob, Di] (see
+    # rescan._scan_fallback's banded tables; row binning is linear so it
+    # folds into the table: binned window row r sums camera rows r*b..+b)
+    ci = jnp.arange(chunk)[:, None]
+    di = jnp.arange(d_in)[None, :]
+    ill_w = eff_scaled[(w // 2 + di - s_in - ci) % w]        # [C, Di]
+    gx_t = gx_mat.T
+    g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
+        :, (jnp.arange(d_in) - s_in) % w]                    # [Do, Di]
+    swb = (g0w[None] * ill_w[:, None, :]).reshape(
+        chunk, dob, b, d_in).sum(2)                          # [C, dob, Di]
+
+    # extended sample: sample_ext[r] = sample^T[(r - s_in) % w], so chunk
+    # p0's window is rows [p0, p0 + d_in) -- no in-kernel wrap handling
+    sample_t = sample_y.T                                    # [W, H]
+    rows = (jnp.arange(w + d_in) - s_in) % w
+    sample_ext = sample_t[rows]                              # [W + Di, H]
+
+    # placement scalars (module doc): per-chunk window base gstart and
+    # wrap split row m0; per-position canvas starts with class folded in
+    p0s = jnp.arange(n_chunks) * chunk
+    gstart = (p0s - s_out) // b                              # [n_chunks]
+    k0 = jnp.floor_divide(gstart, wb)
+    m0 = (wb * (k0 + 1) - gstart).astype(jnp.int32)
+    icp = jnp.arange(w) // chunk
+    cls = jnp.zeros((w,), jnp.int32) if classes is None \
+        else jnp.asarray(classes, jnp.int32)
+    sa_lo = (gstart[icp] + jnp.asarray(int_offsets, jnp.int32)
+             - wb * k0[icp]) % wc
+    sa_hi = (sa_lo - wb) % wc
+    sa_lo = (cls * wcp + sa_lo).astype(jnp.int32)
+    sa_hi = (cls * wcp + sa_hi).astype(jnp.int32)
+
+    noisy = seed is not None
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.int32)
+
+    lane_out = 128 if (hb % 128 == 0 and hb > 128) else hb
+    n_tiles = hb // lane_out
+    lane_in = lane_out * b
+
+    in_specs = [
+        pl.BlockSpec((chunk, dob, d_in),
+                     lambda t, i, *s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),               # conv table
+        pl.BlockSpec((w + d_in, lane_in),
+                     lambda t, i, *s: (0, t),
+                     memory_space=pltpu.VMEM),               # sample_ext tile
+    ]
+    args = [sa_lo, sa_hi, m0, jnp.asarray(seed, jnp.int32),
+            swb, sample_ext]
+    if b != 1:
+        eyeh = jnp.eye(hb, dtype=jnp.float32)
+        bcol = jnp.repeat(eyeh, b, axis=0)                   # [H, H/b]
+        in_specs.append(
+            pl.BlockSpec((lane_in, lane_out), lambda t, i, *s: (t, t),
+                         memory_space=pltpu.VMEM))
+        args.append(bcol)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles, n_chunks),                            # chunks fastest
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((q * wcp, lane_out),
+                               lambda t, i, *s: (0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((chunk * dob, lane_out), jnp.float32),
+            pltpu.VMEM((w_pad, lane_out), jnp.float32),
+        ],
+    )
+    padded = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk, d_in=d_in, dob=dob,
+                          w_pad=w_pad, noisy=noisy, n_tiles=n_tiles,
+                          binning=b),
+        out_shape=jax.ShapeDtypeStruct((q * wcp, hb), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    # fold each class's alignment tail back onto its canvas head
+    per_cls = padded.reshape(q, wcp, hb)
+    tail = wcp - wc
+    return per_cls[:, :wc].at[:, :tail].add(per_cls[:, wc:])
