@@ -293,15 +293,13 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         psfs.detection_profile(w, params.sigma_det))
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
 
-    # Fused megakernel path: the whole scan in ONE pallas_call with the
-    # canvas resident in VMEM (kernels/rescan_fused.py), including per-step
-    # shot noise drawn in-kernel from the hardware PRNG. Used by DEFAULT
-    # only for per-step noise (where in-kernel sampling is ~3x the lax.scan
-    # path); for collapsed noise the rfft phase-accumulation engine below
-    # measures ~1.5x faster still (docs/PERFORMANCE.md), so the megakernel
-    # needs an explicit use_pallas=True there. Narrow canvases
-    # (rescan_factor close to 1, where the 8-aligned padded frame would not
-    # fit) route to the lax.scan engine, whose placement handles any width.
+    # Engine ladder (fastest first, each falling back to the next when its
+    # static preconditions fail): 1. BANDED fused megakernel (integer /
+    # rational-class placement on band windows, VMEM-resident canvas);
+    # 2. full-frame fused megakernel (per-step default without band
+    # windows; use_pallas=True otherwise); 3. the lax.scan engines
+    # (windowed rDFT hybrid / rational strips / phase accumulation /
+    # scatter), which handle any width, irrational steps, and off-TPU.
     on_tpu = jax.default_backend() == "tpu"
     fused_fits = (w // b + 7) // 8 * 8 + 8 <= wc
     # per-step noise: lane-tiled kernel (128 binned lanes at a time), so
@@ -311,13 +309,116 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     lane = 128 if (hb_ % 128 == 0 and hb_ > 128) else hb_
     noisy_vmem_ok = (w * w + w * lane * b + (wc + wb_ + 16) * lane
                      + 8 * wb_ * lane) * 4 <= 14_000_000
-    # The windowed banded hybrid (r3) measures ~2x the fused megakernel for
-    # per-step noise (64-67k vs 27-31k steps/s at 512^2), so when its
-    # static windows are available it is the per-step default even for
-    # rounded offsets; the megakernel stays reachable with use_pallas=True
-    # and remains the default when banding is unavailable (traced sigmas /
-    # custom illumination models).
     windowed = _illum_band(params, w, chunk, b)
+    subpixel = reassignment == "subpixel"
+    import os
+
+    # Banded fused megakernel (r3 cont.): conv + in-kernel sampling + exact
+    # integer scatter in ONE pallas_call over the translating band windows
+    # (kernels/rescan_banded_fused.py). The hardware A/B
+    # (scripts/perf_banded_fused_ab.py, 512^2, R in {2, 3}, b in {1, 2})
+    # measures it fastest of every engine for integer-offset placements:
+    # collapsed 95-98k steps/s vs 31-69k for the strips/windowed lax.scan
+    # hybrids, per-step 65-90k vs 13-67k for the rDFT hybrid. It is
+    # therefore the DEFAULT for any placement expressible as integer
+    # offsets within q fractional-offset classes: rounded reassignment
+    # (q = 1 by construction, any R) and subpixel reassignment with
+    # rational step (R-1)/b = p/q, q | chunk, q <= 8 -- each class's
+    # residue is applied once per image as a spectral shift of its folded
+    # class canvas, the same math as the strips engine (see the
+    # ``strips is not None`` branch of _scan_fallback). The q>1 hardware
+    # A/B (scripts/perf_subpixel_banded_ab.py, 512^2, q in {2, 4, 8})
+    # confirms collapsed 90-100k vs 8-75k and per-step b=2 89.6k vs
+    # 56.6k, but measures per-step q>1 at b=1 a consistent 2-9% BEHIND
+    # the rDFT hybrid (65-66k vs 66-73k) -- the sampler runs on unbinned
+    # lanes there while the residue pass adds q-class spectral work -- so
+    # that one cell keeps the hybrid default (banded still reachable with
+    # use_pallas=True). Truly-irrational
+    # subpixel steps stay on the rDFT hybrid. Per-step noise needs the
+    # hardware PRNG (interpret mode yields zeros), so off-TPU the noisy
+    # path never routes here; use_pallas=True forces the noise-free path
+    # in interpret mode (parity tests). RLS_BANDED_FUSED=0 reverts to the
+    # pre-banded routing (megakernel via use_pallas=True, scan engines by
+    # default).
+    bf_q = bf_p = None
+    if reassignment == "rounded":
+        bf_q = 1                       # round() is integral for ANY R
+    else:
+        step = (float(geom.rescan_factor) - 1.0) / b
+        for q_try in (1, 2, 4, 8):
+            if chunk % q_try == 0 \
+                    and abs(step * q_try - round(step * q_try)) < 1e-9:
+                bf_q, bf_p = q_try, int(round(step * q_try))
+                break
+    banded_ok = (bf_q is not None
+                 and windowed is not None and windowed[1] is not None
+                 and chunk % 8 == 0 and (chunk * (windowed[1] // b))
+                 % 32 == 0
+                 and (windowed[1] // b + 7) // 8 * 8 + 8 <= wc
+                 and ((on_tpu and use_pallas is not False)
+                      or (use_pallas is True and not per_step))
+                 and not (per_step and bf_q is not None and bf_q > 1
+                          and b == 1 and use_pallas is not True)
+                 and os.environ.get("RLS_BANDED_FUSED", "1") != "0")
+    if banded_ok:
+        # VMEM residency: canvas block (q classes) + conv table + sample
+        # tile + scratch, all f32; stay under the kernel's 64 MB limit
+        dob_w = windowed[1] // b
+        w_pad_w = (dob_w + 7) // 8 * 8 + 8
+        wcp_w = -(-(wc + w_pad_w) // 8) * 8
+        vmem_est = 4 * (bf_q * wcp_w * lane + chunk * dob_w * windowed[0]
+                        + (w + windowed[0]) * lane * b
+                        + chunk * dob_w * lane + w_pad_w * lane)
+        banded_ok = vmem_est <= 50_000_000
+    if banded_ok:
+        pos = jnp.arange(w)
+        if bf_p is None:
+            offsets = jnp.round(
+                (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
+            classes = None
+        else:
+            offsets = ((bf_p * pos) // bf_q).astype(jnp.int32)
+            classes = (pos % bf_q).astype(jnp.int32)
+        seed = None
+        if per_step:
+            seed = jax.random.randint(key, (2,), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+        from rescan_line_sted_tpu.kernels.rescan_banded_fused import (
+            rescan_banded_fused,
+        )
+
+        folded = rescan_banded_fused(
+            sample_y, params.brightness * eff, gx_mat, offsets,
+            wc=wc, d_in=windowed[0], d_out=windowed[1], chunk=chunk,
+            binning=b, classes=classes, q=bf_q, seed=seed,
+            interpret=not on_tpu)
+        if bf_q == 1:
+            canvas = folded[0].T
+        else:
+            # per-class fractional residues as ONE spectral shift each
+            # (exact roots of unity in f64 on the host, like ph_pair below)
+            import numpy as np
+            kdim = wc // 2 + 1
+            frac = np.asarray([((bf_p * r) % bf_q) / bf_q
+                               for r in range(bf_q)], np.float64)
+            ang = (-2.0 * np.pi / wc) * np.arange(kdim)[None, :] \
+                * frac[:, None]
+            ph = jax.lax.complex(jnp.asarray(np.cos(ang), jnp.float32),
+                                 jnp.asarray(np.sin(ang), jnp.float32))
+            spec = jnp.fft.rfft(folded, n=wc, axis=1)            # [q, K, hb]
+            canvas = jnp.fft.irfft(
+                jnp.sum(spec * ph[:, :, None], axis=0), n=wc, axis=0).T
+        if key is not None and not per_step:
+            canvas = maybe_poisson(key, canvas)
+        return canvas
+
+    # Full-frame fused megakernel: the pre-banded fusion (whole camera
+    # frame per position, canvas in VMEM). Default only for per-step noise
+    # when the band windows are unavailable (traced sigmas / custom
+    # illumination models); otherwise reachable with use_pallas=True when
+    # the banded kernel is declined (RLS_BANDED_FUSED=0 / misaligned
+    # windows).
     fused_wanted = (use_pallas is True) if not per_step \
         else (on_tpu and use_pallas is not False and noisy_vmem_ok
               and (use_pallas is True
@@ -331,43 +432,16 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             seed = jax.random.randint(key, (2,), 0,
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
-        # Banded fused megakernel (r3 cont.): when the static band windows
-        # exist, the fused scan runs conv + sampling + scatter on the
-        # translating frame window only (kernels/rescan_banded_fused.py) --
-        # the window is W/d_out of the full-frame megakernel's conv and
-        # sampler work, with the same zero-HBM-round-trip structure.
-        # Rounded offsets are integers for ANY rescan factor, so this
-        # covers every rounded placement. RLS_BANDED_FUSED=0 reverts to
-        # the full-frame megakernel.
-        import os
-        banded_ok = (windowed is not None and windowed[1] is not None
-                     and chunk % 8 == 0 and (chunk * (windowed[1] // b))
-                     % 32 == 0
-                     and (windowed[1] // b + 7) // 8 * 8 + 8 <= wc
-                     and os.environ.get("RLS_BANDED_FUSED", "1") != "0")
-        if banded_ok:
-            from rescan_line_sted_tpu.kernels.rescan_banded_fused import (
-                rescan_banded_fused,
-            )
+        from rescan_line_sted_tpu.kernels.rescan_fused import (
+            rescan_fused,
+        )
 
-            folded = rescan_banded_fused(
-                sample_y, params.brightness * eff, gx_mat, offsets,
-                wc=wc, d_in=windowed[0], d_out=windowed[1], chunk=chunk,
-                binning=b, seed=seed, interpret=not on_tpu)
-            canvas = folded[0].T
-        else:
-            from rescan_line_sted_tpu.kernels.rescan_fused import (
-                rescan_fused,
-            )
-
-            canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,
-                                  offsets, wc, binning=b, seed=seed,
-                                  interpret=not on_tpu)
+        canvas = rescan_fused(sample_y, params.brightness * eff, gx_mat,
+                              offsets, wc, binning=b, seed=seed,
+                              interpret=not on_tpu)
         if key is not None and not per_step:
             canvas = maybe_poisson(key, canvas)
         return canvas
-
-    subpixel = reassignment == "subpixel"
     # Placement mechanism: accumulate frame rffts times per-position phase
     # ramps (exact for subpixel offsets; for rounded offsets the phases are
     # exact roots of unity, identical to the scatter). Measured FASTER than
@@ -408,7 +482,6 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
                           and use_pallas is not False
                           and windowed is not None
                           and windowed[1] is not None)
-    import os
     if windowed_collapsed \
             and os.environ.get("RLS_RESCAN_STRIPS", "1") != "0":
         step = (float(geom.rescan_factor) - 1.0) / b

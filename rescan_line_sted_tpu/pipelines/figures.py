@@ -127,7 +127,13 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
     resolutions; see ``dose_matched_sweep``. ``boundary="padded"`` runs the
     whole sweep open-boundary (pad-acquire-crop). ``include_ism`` adds the
     beyond-reference rescanned-point (2D pixel reassignment) arm at the
-    point arm's dose. ``frc=True`` adds a second independent acquisition
+    point arm's dose; prefer ``boundary="padded"`` or ``"apodized"`` with
+    it -- the ISM arm's analytic canvas mean unwraps camera indices
+    (exact for edge-zero samples), so under the default circular world
+    the default siemens star's edge-touching spokes make its seam region
+    deviate from a faithful wrapping scan (``imaging/rescan_point``
+    module doc; the interior, where the resolution metrics are read, is
+    unaffected). ``frc=True`` adds a second independent acquisition
     per arm and reports the achieved-with-noise FRC resolution curves
     (``*_frc_resolution`` in the curves npz and the resolution panel).
     """

@@ -443,8 +443,13 @@ def test_rescan_strip_placement_matches_spectral(monkeypatch, r, b, pq):
     phase-ramp placement to f32 rounding, including the wb-wrap split at
     the scan edges. The TPU-only routing is forced by patching the backend
     probe; every op on the collapsed path is plain XLA, so CPU executes it
-    faithfully."""
+    faithfully. RLS_BANDED_FUSED=0 keeps the faked-TPU routing off the
+    banded Pallas kernel (the actual TPU default for these placements,
+    covered by test_rescan_banded_fused.py), which cannot compile on the
+    CPU backend."""
     from rescan_line_sted_tpu.imaging import rescan as rescan_mod
+
+    monkeypatch.setenv("RLS_BANDED_FUSED", "0")
 
     w = h = 256
     sample = samples.siemens_star((h, w), spokes=10)
@@ -470,9 +475,14 @@ def test_rescan_windowed_with_custom_depletion_model(monkeypatch):
     XLA ops) is exact with a custom DEPLETION model riding the Gaussian
     excitation band (r3 gaussian_excitation contract): strips path at
     rational R and rDFT placement at irrational R both match the
-    plain-path scan built through the same model."""
+    plain-path scan built through the same model. RLS_BANDED_FUSED=0 keeps
+    the faked-TPU routing off the banded Pallas kernel (CPU cannot compile
+    it); the banded default with a banding-compatible model is covered in
+    test_rescan_banded_fused.py."""
     from rescan_line_sted_tpu.imaging import rescan as rescan_mod
     from rescan_line_sted_tpu.physics.models import EnvelopedStripeModel
+
+    monkeypatch.setenv("RLS_BANDED_FUSED", "0")
 
     w = h = 256
     sample = samples.siemens_star((h, w), spokes=10)

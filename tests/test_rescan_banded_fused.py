@@ -176,6 +176,42 @@ class TestEngineRoute:
                     / np.linalg.norm(np.asarray(want)))
         assert err < 2e-6
 
+    @pytest.mark.parametrize("rf,q", [(1.5, 2), (2.25, 4)])
+    def test_banded_rational_subpixel_parity(self, rf, q, monkeypatch):
+        """Rational subpixel steps (R-1)/b = p/q route onto the banded
+        fused kernel with q fractional-offset classes; the folded class
+        canvases + per-class spectral residues must match the exact
+        per-position phase-ramp engine."""
+        from rescan_line_sted_tpu.config import (Grid, RescanGeometry,
+                                                 RescanParams)
+        from rescan_line_sted_tpu.data import samples
+        from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+        from rescan_line_sted_tpu.kernels import rescan_banded_fused as kmod
+
+        h, w = 64, 256
+        geom = RescanGeometry(Grid(h, w), rescan_factor=rf, binning=1,
+                              chunk=16)
+        params = RescanParams.create(sigma_exc=2.0, sigma_det=2.0,
+                                     stripe_period=8.0, depletion=4.0,
+                                     brightness=40.0)
+        sample = samples.rings((h, w), period=12.0)
+        calls = []
+        orig = kmod.rescan_banded_fused
+
+        def spy(*a, **k):
+            calls.append(k.get("q"))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(kmod, "rescan_banded_fused", spy)
+        want = rescanned_line_sted_image(sample, params, geom, method="scan",
+                                         use_pallas=False).image
+        got = rescanned_line_sted_image(sample, params, geom, method="scan",
+                                        use_pallas=True).image
+        assert calls == [q], "banded fused kernel not routed with q classes"
+        err = float(np.linalg.norm(np.asarray(got) - np.asarray(want))
+                    / np.linalg.norm(np.asarray(want)))
+        assert err < 1e-5
+
     def test_env_kill_switch_routes_megakernel(self, monkeypatch):
         from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
         from rescan_line_sted_tpu.kernels import rescan_banded_fused as kmod
