@@ -330,10 +330,16 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # A/B (scripts/perf_subpixel_banded_ab.py, 512^2, q in {2, 4, 8})
     # confirms collapsed 90-100k vs 8-75k and per-step b=2 89.6k vs
     # 56.6k, but measures per-step q>1 at b=1 a consistent 2-9% BEHIND
-    # the rDFT hybrid (65-66k vs 66-73k) -- the sampler runs on unbinned
-    # lanes there while the residue pass adds q-class spectral work -- so
-    # that one cell keeps the hybrid default (banded still reachable with
-    # use_pallas=True). Truly-irrational
+    # the rDFT hybrid at 512^2 (65-66k vs 66-73k) -- the sampler runs on
+    # unbinned lanes there while the residue pass adds q-class spectral
+    # work. That trade is WIDTH-DEPENDENT: the hybrid's rDFT placement
+    # work per step scales ~W^2 (K x H both grow) while the banded
+    # kernel's scatter does not, and the width A/B
+    # (scripts/perf_subpixel_banded_width_ab.py: 512^2 hybrid 101.8k vs
+    # banded 94.9k; 1024^2 48.3k vs 57.2k; 2048^2 6.5k vs 17.9k) puts the
+    # crossover between 512 and 1024 -- so only w <= 512 keeps the hybrid
+    # default in that cell (banded still reachable with use_pallas=True).
+    # Truly-irrational
     # subpixel steps stay on the rDFT hybrid. Per-step noise needs the
     # hardware PRNG (interpret mode yields zeros), so off-TPU the noisy
     # path never routes here; use_pallas=True forces the noise-free path
@@ -358,7 +364,8 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
                  and ((on_tpu and use_pallas is not False)
                       or (use_pallas is True and not per_step))
                  and not (per_step and bf_q is not None and bf_q > 1
-                          and b == 1 and use_pallas is not True)
+                          and b == 1 and w <= 512
+                          and use_pallas is not True)
                  and os.environ.get("RLS_BANDED_FUSED", "1") != "0")
     if banded_ok:
         # VMEM residency: canvas block (q classes) + conv table + sample
