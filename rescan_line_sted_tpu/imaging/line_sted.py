@@ -220,8 +220,10 @@ def _scan(sample, params, geom, key, noise_mode="collapsed",
             # and the slit weights inside the output window
             di = jnp.arange(d_in)[None, :]
             ill_w = eff[(w // 2 + di - s_in - ci) % w]           # [C, Di]
-            g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
-                :, (jnp.arange(d_in) - s_in) % w]                # [Do, Di]
+            # window the gx profile directly (fftconv.circulant_window):
+            # no [W, W] circulant intermediate on the banded path, XLA
+            # dead-code-eliminates the gx_mat build above
+            g0w = fftconv.circulant_window(gx, d_out, d_in, s_out, s_in)
             scaled_win = (params.brightness
                           * g0w[None] * ill_w[:, None, :])       # [C, Do, Di]
             do = jnp.arange(d_out)[None, :]

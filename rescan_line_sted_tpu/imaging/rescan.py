@@ -289,8 +289,11 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # circulant MXU matmul (see line_sted.py). The rescan canvas needs the
     # full camera frame each step, so detection cannot fold away here.
     otf_y = fftconv.profile_to_otf1d(psfs.detection_profile(h, params.sigma_det))
-    gx_mat = fftconv.circulant_matrix(
-        psfs.detection_profile(w, params.sigma_det))
+    gx = psfs.detection_profile(w, params.sigma_det)
+    # the full [W, W] circulant is only consumed by the full-frame engines;
+    # the banded paths window gx directly, so XLA dead-code-eliminates this
+    # build from their programs
+    gx_mat = fftconv.circulant_matrix(gx)
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
 
     # Engine ladder (fastest first, each falling back to the next when its
@@ -396,7 +399,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         )
 
         folded = rescan_banded_fused(
-            sample_y, params.brightness * eff, gx_mat, offsets,
+            sample_y, params.brightness * eff, gx, offsets,
             wc=wc, d_in=windowed[0], d_out=windowed[1], chunk=chunk,
             binning=b, classes=classes, q=bf_q, seed=seed,
             interpret=not on_tpu)
@@ -540,6 +543,7 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     keys = jax.random.split(key, n_chunks) if per_step else None
     canvas = _scan_fallback(
         sample_y, params.brightness * eff, gx_mat, keys, ph_pair, dft_pair,
+        gx=gx,
         wc=wc, chunk=eff_chunk, b=b, rescan_factor=float(geom.rescan_factor),
         phase_accum=phase_accum, use_pallas=use_pallas, tiered=on_tpu,
         band=_illum_band(params, w, eff_chunk, b), strips=strips)
@@ -611,7 +615,8 @@ def _illum_band(params, w: int, chunk: int,
     jax.jit,
     static_argnames=("wc", "chunk", "b", "rescan_factor", "phase_accum",
                      "use_pallas", "tiered", "band", "strips"))
-def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
+def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None,
+                   gx=None, *,
                    wc, chunk, b, rescan_factor, phase_accum, use_pallas,
                    tiered=False, band=None, strips=None):
     """The chunked lax.scan engine (scatter OR rfft phase
@@ -719,8 +724,13 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None, *,
                 # single [C*D_out, D_in] @ [D_in, H] matmul against the
                 # gathered sample rows.
                 s_out = (d_out - chunk) // 2
-                g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
-                    :, (jnp.arange(d_in) - s_in) % w]            # [D_out, D_in]
+                if gx is not None:
+                    # window the profile directly (no [W, W] intermediate)
+                    g0w = fftconv.circulant_window(gx, d_out, d_in,
+                                                   s_out, s_in)
+                else:
+                    g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
+                        :, (jnp.arange(d_in) - s_in) % w]        # [Do, Di]
                 scaled_win = g0w[None] * ill_w[:, None, :]       # [C, Do, Di]
 
     def body(canvas, chunk_in):

@@ -108,11 +108,38 @@ def circulant_matrix(profile: jnp.ndarray) -> jnp.ndarray:
     ``img @ M`` is circular convolution along the last axis as ONE matmul --
     on TPU the MXU crushes a W x W matmul at these sizes, so scan engines use
     this instead of per-step FFTs when they need explicit camera frames.
+
+    Built WITHOUT a gather: a W*(W+1) tiling reshaped to [W, W+1] shifts
+    each row by one (``i*(W+1) === i mod W``), so slicing the first W
+    columns and reversing rows yields exactly ``p[(x - a + W//2) % W]``.
+    The naive modular-index gather measures 8.6 ns/element on TPU v5e and
+    is NOT loop-hoisted by XLA -- 36 ms per 2048^2 build, 5x the cost of
+    the matmul it feeds; this form builds the same table in 5.7 ms at
+    2048^2 and is bit-identical (docs/PERFORMANCE.md, gather-free tables).
     """
     w = profile.shape[-1]
-    x = jnp.arange(w)
-    idx = (x[None, :] - x[:, None] + w // 2) % w
-    return profile[idx]
+    q = jnp.roll(profile, -(1 + w // 2))
+    t = jnp.tile(q, w + 1).reshape(w, w + 1)[:, :w]
+    return t[::-1]
+
+
+def circulant_window(profile: jnp.ndarray, d_rows: int, d_cols: int,
+                     s_row: int, s_col: int) -> jnp.ndarray:
+    """Banded window of the TRANSPOSED circulant, straight from the profile.
+
+    Returns ``W[r, c] = k((r - s_row) - (c - s_col))`` for ``r < d_rows``,
+    ``c < d_cols`` -- identical to
+    ``circulant_matrix(p).T[(arange(d_rows) - s_row) % w]
+    [:, (arange(d_cols) - s_col) % w]`` but as one d_rows x d_cols gather
+    of the 1D profile instead of materializing the [W, W] circulant and
+    row/column-gathering it (the W-scale intermediates dominate the banded
+    engines' per-image cost at large W; see circulant_matrix). Used for
+    the banded engines' chunk-invariant conv tables.
+    """
+    w = profile.shape[-1]
+    r = jnp.arange(d_rows)[:, None] - s_row
+    c = jnp.arange(d_cols)[None, :] - s_col
+    return profile[(r - c + w // 2) % w]
 
 
 def profile_to_otf1d(profile: jnp.ndarray) -> jnp.ndarray:

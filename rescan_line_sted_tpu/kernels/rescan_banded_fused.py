@@ -144,7 +144,7 @@ def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
 
 
 def rescan_banded_fused(
-    sample_y: jnp.ndarray, eff_scaled: jnp.ndarray, gx_mat: jnp.ndarray,
+    sample_y: jnp.ndarray, eff_scaled: jnp.ndarray, gx: jnp.ndarray,
     int_offsets: jnp.ndarray, *, wc: int, d_in: int, d_out: int,
     chunk: int, binning: int = 1, classes: jnp.ndarray | None = None,
     q: int = 1, seed: jnp.ndarray | None = None,
@@ -153,8 +153,9 @@ def rescan_banded_fused(
     """Banded fused rescan scan over all W column positions (module doc).
 
     sample_y: [H, W] y-convolved sample; eff_scaled: [W] centered
-    brightness-scaled effective excitation profile; gx_mat: [W, W]
-    circulant of the detection x-profile (``cam = emitted @ gx_mat``);
+    brightness-scaled effective excitation profile; gx: [W] centered
+    detection x-profile (the conv table windows its circulant directly --
+    ``fftconv.circulant_window`` -- so the [W, W] matrix is never built);
     int_offsets: [W] int32 INTEGER canvas column offsets (binned pixels)
     per scan position; classes: [W] int32 class index in [0, q) (None =
     all zero); d_in/d_out: the static band windows of
@@ -192,20 +193,23 @@ def rescan_banded_fused(
     # chunk-invariant binned conv table [C, dob, Di] (see
     # rescan._scan_fallback's banded tables; row binning is linear so it
     # folds into the table: binned window row r sums camera rows r*b..+b)
+    from rescan_line_sted_tpu.kernels import fftconv
+
     ci = jnp.arange(chunk)[:, None]
     di = jnp.arange(d_in)[None, :]
     ill_w = eff_scaled[(w // 2 + di - s_in - ci) % w]        # [C, Di]
-    gx_t = gx_mat.T
-    g0w = gx_t[(jnp.arange(d_out) - s_out) % w][
-        :, (jnp.arange(d_in) - s_in) % w]                    # [Do, Di]
+    g0w = fftconv.circulant_window(gx, d_out, d_in, s_out, s_in)  # [Do, Di]
     swb = (g0w[None] * ill_w[:, None, :]).reshape(
         chunk, dob, b, d_in).sum(2)                          # [C, dob, Di]
 
     # extended sample: sample_ext[r] = sample^T[(r - s_in) % w], so chunk
-    # p0's window is rows [p0, p0 + d_in) -- no in-kernel wrap handling
+    # p0's window is rows [p0, p0 + d_in) -- no in-kernel wrap handling.
+    # Built by slicing (the row sequence is a circular unroll), not by a
+    # row gather: concat of contiguous slices is pure data movement.
     sample_t = sample_y.T                                    # [W, H]
-    rows = (jnp.arange(w + d_in) - s_in) % w
-    sample_ext = sample_t[rows]                              # [W + Di, H]
+    head = sample_t[w - s_in:] if s_in else sample_t[:0]
+    tail = sample_t[:d_in - s_in]          # d_in < w (guarded by the caller)
+    sample_ext = jnp.concatenate([head, sample_t, tail], axis=0)
 
     # placement scalars (module doc): per-chunk window base gstart and
     # wrap split row m0; per-position canvas starts with class folded in

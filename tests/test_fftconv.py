@@ -99,3 +99,29 @@ def test_correlate_otf_at_large_coordinate_phase():
     want = fftconv.correlate_otf(img, otf)[0, h - 1, w - 1]
     got = fftconv.correlate_otf_at(img, otf, pos)[0]
     np.testing.assert_allclose(float(got), float(want), rtol=1e-4, atol=1e-5)
+
+
+def test_circulant_matrix_indexing():
+    """Gather-free build == the modular-index definition
+    M[a, x] = p[(x - a + w//2) % w], even and odd widths."""
+    rng = np.random.default_rng(3)
+    for w in (8, 9, 33, 64):
+        p = rng.random(w).astype(np.float32)
+        x = np.arange(w)
+        want = p[(x[None, :] - x[:, None] + w // 2) % w]
+        got = np.asarray(fftconv.circulant_matrix(jnp.asarray(p)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_circulant_window_matches_matrix_window():
+    """Profile-direct band window == windowing the full transposed
+    circulant (the banded engines' table construction)."""
+    rng = np.random.default_rng(4)
+    for w, d_r, d_c, s_r, s_c in [(64, 48, 32, 20, 12), (64, 8, 8, 0, 0),
+                                  (33, 16, 10, 7, 3), (64, 48, 32, -4, 40)]:
+        p = rng.random(w).astype(np.float32)
+        gx_t = np.asarray(fftconv.circulant_matrix(jnp.asarray(p))).T
+        want = gx_t[(np.arange(d_r) - s_r) % w][:, (np.arange(d_c) - s_c) % w]
+        got = np.asarray(fftconv.circulant_window(jnp.asarray(p),
+                                                  d_r, d_c, s_r, s_c))
+        np.testing.assert_array_equal(got, want)

@@ -56,8 +56,7 @@ def test_banded_fused_matches_dense_oracle(q, binning, rf):
     sample = jnp.asarray(rng.random((h, w)), jnp.float32)
     eff = _profile(w, 1.6)
     gxp = np.asarray(_profile(w, 1.4))
-    gx_mat = jnp.asarray(
-        np.stack([np.roll(gxp, a - w // 2) for a in range(w)]), jnp.float32)
+    gx_mat = np.stack([np.roll(gxp, a - w // 2) for a in range(w)])
 
     # rational step (rf - 1)/b = p/q exactly for these params
     step = (rf - 1.0) / b
@@ -69,7 +68,7 @@ def test_banded_fused_matches_dense_oracle(q, binning, rf):
 
     chunk, d_in, d_out = 8, 32, 48 // b * b  # window > supports, < w
     got = rescan_banded_fused(
-        sample, eff, gx_mat, jnp.asarray(int_offsets, jnp.int32),
+        sample, eff, jnp.asarray(gxp), jnp.asarray(int_offsets, jnp.int32),
         wc=wc, d_in=d_in, d_out=d_out, chunk=chunk, binning=b,
         classes=jnp.asarray(classes, jnp.int32), q=q, interpret=True)
 
@@ -85,7 +84,7 @@ def test_banded_fused_guards():
     h = w = 64
     sample = jnp.zeros((h, w), jnp.float32)
     eff = _profile(w, 1.5)
-    gx = jnp.eye(w, dtype=jnp.float32)
+    gx = _profile(w, 1.5)
     offs = jnp.zeros((w,), jnp.int32)
     with pytest.raises(ValueError, match="frame window"):
         rescan_banded_fused(sample, eff, gx, offs, wc=128, d_in=32,
@@ -111,23 +110,21 @@ def test_banded_fused_noise_statistics():
     wc = 2 * w
     sample = jnp.asarray(50.0 * rng.random((h, w)), jnp.float32)
     eff = 40.0 * _profile(w, 1.6)
-    gxp = np.asarray(_profile(w, 1.4))
-    gx_mat = jnp.asarray(
-        np.stack([np.roll(gxp, a - w // 2) for a in range(w)]), jnp.float32)
+    gxp = _profile(w, 1.4)
     offs = jnp.asarray(np.arange(w), jnp.int32)
     kw = dict(wc=wc, d_in=64, d_out=96, chunk=16, interpret=False)
-    clean = rescan_banded_fused(sample, eff, gx_mat, offs, **kw)
-    noisy = rescan_banded_fused(sample, eff, gx_mat, offs,
+    clean = rescan_banded_fused(sample, eff, gxp, offs, **kw)
+    noisy = rescan_banded_fused(sample, eff, gxp, offs,
                                 seed=jnp.asarray([7, 9], jnp.int32), **kw)
     s_clean = float(jnp.sum(clean))
     s_noisy = float(jnp.sum(noisy))
     assert abs(s_noisy - s_clean) < 5.0 * np.sqrt(s_clean)
     # determinism in the seed
-    noisy2 = rescan_banded_fused(sample, eff, gx_mat, offs,
+    noisy2 = rescan_banded_fused(sample, eff, gxp, offs,
                                  seed=jnp.asarray([7, 9], jnp.int32), **kw)
     np.testing.assert_array_equal(np.asarray(noisy), np.asarray(noisy2))
     # different seed decorrelates
-    noisy3 = rescan_banded_fused(sample, eff, gx_mat, offs,
+    noisy3 = rescan_banded_fused(sample, eff, gxp, offs,
                                  seed=jnp.asarray([8, 9], jnp.int32), **kw)
     assert float(jnp.max(jnp.abs(noisy3 - noisy))) > 0.0
 
