@@ -338,8 +338,8 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # work. That trade is WIDTH-DEPENDENT: the hybrid's rDFT placement
     # work per step scales ~W^2 (K x H both grow) while the banded
     # kernel's scatter does not, and the width A/B
-    # (scripts/perf_subpixel_banded_width_ab.py: 512^2 hybrid 101.8k vs
-    # banded 94.9k; 1024^2 48.3k vs 57.2k; 2048^2 6.5k vs 17.9k) puts the
+    # (scripts/perf_subpixel_banded_width_ab.py: 512^2 hybrid 25.4k vs
+    # banded 23.7k; 1024^2 24.1k vs 28.6k; 2048^2 6.5k vs 17.9k) puts the
     # crossover between 512 and 1024 -- so only w <= 512 keeps the hybrid
     # default in that cell (banded still reachable with use_pallas=True).
     # Truly-irrational
@@ -353,12 +353,9 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     if reassignment == "rounded":
         bf_q = 1                       # round() is integral for ANY R
     else:
-        step = (float(geom.rescan_factor) - 1.0) / b
-        for q_try in (1, 2, 4, 8):
-            if chunk % q_try == 0 \
-                    and abs(step * q_try - round(step * q_try)) < 1e-9:
-                bf_q, bf_p = q_try, int(round(step * q_try))
-                break
+        pq = _rational_step((float(geom.rescan_factor) - 1.0) / b, chunk)
+        if pq is not None:
+            bf_p, bf_q = pq
     banded_ok = (bf_q is not None
                  and windowed is not None and windowed[1] is not None
                  and chunk % 8 == 0 and (chunk * (windowed[1] // b))
@@ -403,22 +400,10 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
             wc=wc, d_in=windowed[0], d_out=windowed[1], chunk=chunk,
             binning=b, classes=classes, q=bf_q, seed=seed,
             interpret=not on_tpu)
-        if bf_q == 1:
-            canvas = folded[0].T
-        else:
-            # per-class fractional residues as ONE spectral shift each
-            # (exact roots of unity in f64 on the host, like ph_pair below)
-            import numpy as np
-            kdim = wc // 2 + 1
-            frac = np.asarray([((bf_p * r) % bf_q) / bf_q
-                               for r in range(bf_q)], np.float64)
-            ang = (-2.0 * np.pi / wc) * np.arange(kdim)[None, :] \
-                * frac[:, None]
-            ph = jax.lax.complex(jnp.asarray(np.cos(ang), jnp.float32),
-                                 jnp.asarray(np.sin(ang), jnp.float32))
-            spec = jnp.fft.rfft(folded, n=wc, axis=1)            # [q, K, hb]
-            canvas = jnp.fft.irfft(
-                jnp.sum(spec * ph[:, :, None], axis=0), n=wc, axis=0).T
+        canvas = _apply_class_residues(
+            folded,
+            [((bf_p * r) % bf_q) / bf_q for r in range(bf_q)]
+            if bf_q > 1 else [0.0], wc)
         if key is not None and not per_step:
             canvas = maybe_poisson(key, canvas)
         return canvas
@@ -494,14 +479,13 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
                           and windowed[1] is not None)
     if windowed_collapsed \
             and os.environ.get("RLS_RESCAN_STRIPS", "1") != "0":
-        step = (float(geom.rescan_factor) - 1.0) / b
-        for q_try in (1, 2, 4, 8) if subpixel else (1,):
-            if chunk % q_try == 0 \
-                    and abs(step * q_try - round(step * q_try)) < 1e-9:
-                p_c = int(round(step * q_try))
-                if windowed[1] // b + (p_c * (chunk - 1)) // q_try + 1 < wc:
-                    strips = (p_c, q_try)
-                break
+        pq = _rational_step((float(geom.rescan_factor) - 1.0) / b, chunk)
+        # rounded reassignment only matches strip placement at an integral
+        # step (q = 1); subpixel placement matches any rational class step
+        if pq is not None and (subpixel or pq[1] == 1):
+            p_c, q_try = pq
+            if windowed[1] // b + (p_c * (chunk - 1)) // q_try + 1 < wc:
+                strips = (p_c, q_try)
     if phase_accum and strips is None:
         # Per-position canvas phase ramps exp(-2i pi k off/wc), built in f64
         # on the host (f32 phase arguments lose ~1e-4 at these magnitudes).
@@ -550,6 +534,44 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     if key is not None and noise_mode == "collapsed":
         canvas = maybe_poisson(key, canvas)
     return canvas
+
+
+def _rational_step(step: float, chunk: int):
+    """Smallest q <= 8 with q | chunk and ``step * q`` integral (1e-9 tol).
+
+    Returns ``(p, q)`` with ``step == p / q``, or None. The ONE place the
+    "rational placement step" contract lives: shared by the banded-fused
+    routing and the strips engine so both always agree on which placements
+    have class structure.
+    """
+    for q_try in range(1, 9):
+        if chunk % q_try == 0 \
+                and abs(step * q_try - round(step * q_try)) < 1e-9:
+            return int(round(step * q_try)), q_try
+    return None
+
+
+def _apply_class_residues(folded, fracs, wc: int):
+    """Sum folded class canvases ``[q, wc, H]``, applying each class's
+    fractional canvas shift as ONE spectral phase ramp before the sum.
+
+    Phases are roots of unity built in f64 on the host (exact, like the
+    per-position ``ph_pair`` ramps). The q = 1 case (residue 0 by
+    construction) is the plain transpose. Returns the [H, wc] canvas.
+    Shared by the banded-fused epilogue and the strips engine -- the two
+    must stay bit-consistent for engine parity.
+    """
+    if len(fracs) == 1:
+        return folded[0].T
+    import numpy as np
+    kdim = wc // 2 + 1
+    ang = (-2.0 * np.pi / wc) * np.arange(kdim)[None, :] \
+        * np.asarray(fracs, np.float64)[:, None]
+    ph = jax.lax.complex(jnp.asarray(np.cos(ang), jnp.float32),
+                         jnp.asarray(np.sin(ang), jnp.float32))  # [q, K]
+    spec = jnp.fft.rfft(folded, n=wc, axis=1)                    # [q, K, H]
+    return jnp.fft.irfft(jnp.sum(spec * ph[:, :, None], axis=0),
+                         n=wc, axis=0).T
 
 
 def _illum_band(params, w: int, chunk: int,
@@ -863,16 +885,7 @@ def _scan_fallback(sample_y, eff_b, gx_mat, keys, ph_pair, dft_pair=None,
             wdt = min(wc, w_ext - off)
             folded = folded.at[:, :wdt].add(canvas[:, off:off + wdt])
             off += wc
-        if q_n == 1:
-            return folded[0].T
-        import numpy as np
-        ang = (-2.0 * np.pi / wc) * np.arange(kdim)[None, :] \
-            * np.asarray(strip_frac, np.float64)[:, None]
-        ph = jax.lax.complex(jnp.asarray(np.cos(ang), jnp.float32),
-                             jnp.asarray(np.sin(ang), jnp.float32))  # [q, K]
-        spec = jnp.fft.rfft(folded, n=wc, axis=1)                # [q, K, hc]
-        return jnp.fft.irfft(jnp.sum(spec * ph[:, :, None], axis=0),
-                             n=wc, axis=0).T
+        return _apply_class_residues(folded, strip_frac, wc)
     if hybrid:
         canvas = jnp.fft.irfft(canvas, n=wc, axis=0).T
     elif phase_accum:

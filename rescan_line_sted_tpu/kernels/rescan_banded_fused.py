@@ -177,6 +177,9 @@ def rescan_banded_fused(
     dob = d_out // b
     if w % chunk or chunk % 8:
         raise ValueError("chunk must divide W and be a multiple of 8")
+    if not chunk <= d_in < w:
+        raise ValueError("need chunk <= d_in < W (the slice-built extended "
+                         "sample wraps the circular boundary at most once)")
     if chunk % b or d_out % b or ((d_out - chunk) // 2) % b:
         raise ValueError("binning must align the frame window")
     if (chunk * dob) % _SUB_ROWS:
@@ -208,7 +211,7 @@ def rescan_banded_fused(
     # row gather: concat of contiguous slices is pure data movement.
     sample_t = sample_y.T                                    # [W, H]
     head = sample_t[w - s_in:] if s_in else sample_t[:0]
-    tail = sample_t[:d_in - s_in]          # d_in < w (guarded by the caller)
+    tail = sample_t[:d_in - s_in]                  # d_in < w (guarded above)
     sample_ext = jnp.concatenate([head, sample_t, tail], axis=0)
 
     # placement scalars (module doc): per-chunk window base gstart and

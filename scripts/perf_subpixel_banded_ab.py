@@ -59,14 +59,17 @@ def main():
         slit_halfwidth=4.0, brightness=1.0)
     off = 0
 
-    arms = [("banded", None), ("prior", "0")]
+    # the banded arm forces use_pallas=True so it measures the banded
+    # kernel in EVERY cell -- default routing keeps per-step q>1 b=1 at
+    # w <= 512 on the rDFT hybrid (the width gate in rescan._scan)
+    arms = [("banded", None, True), ("prior", "0", None)]
     # steps 0.5 (q=2), 1.25 (q=4), 0.375 (q=8); all q | chunk=32
     for r_f, b, tag in [(1.5, 1, "R=1.5  q=2"), (2.25, 1, "R=2.25 q=4"),
                         (1.375, 1, "R=1.375 q=8"), (3.5, 2, "R=3.5 b=2 q=4")]:
         geom = RescanGeometry(Grid(size, size), rescan_factor=r_f,
                               binning=b, chunk=32)
         for mode in ("collapsed", "per_step"):
-            for name, env in arms:
+            for name, env, force in arms:
                 if env is None:
                     os.environ.pop("RLS_BANDED_FUSED", None)
                 else:
@@ -75,7 +78,7 @@ def main():
                 dt = amortized_s(
                     lambda s, p, k: rescanned_line_sted_image(
                         s, p, geom, key=k, method="scan", noise_mode=mode,
-                        reassignment="subpixel").image,
+                        reassignment="subpixel", use_pallas=force).image,
                     sample, params, geom.canvas_shape, seed_off=off)
                 print(f"{tag}  {mode:9s} {name:7s} "
                       f"{size / dt:10,.0f} steps/s  ({dt * 1e3:6.2f} ms/img)",

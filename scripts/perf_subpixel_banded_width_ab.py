@@ -1,11 +1,22 @@
-"""A/B at 2048^2: per-step fractional R=1.5 (q=2, b=1) -- rDFT hybrid
-(current default, excluded from banded by the 512^2 measurement) vs the
-banded fused kernel (use_pallas=True)."""
+"""Width A/B for the one per-step cell kept on the rDFT hybrid at 512^2:
+fractional R=1.5 (q=2 classes, b=1) -- rDFT hybrid (RLS_BANDED_FUSED=0,
+so the arm measures the hybrid at EVERY width; the default routing takes
+the banded kernel above 512) vs the banded fused kernel (use_pallas=True).
+
+The hybrid's rDFT placement work per step scales ~W^2 (DFT columns x
+image rows both grow with W) while the banded kernel's integer scatter
+does not, so the crossover sits between 512 and 1024 -- that measurement
+is the basis of the ``w <= 512`` gate in ``rescan._scan``.
+
+Run on the real TPU:
+    PYTHONPATH=/root/repo:/root/.axon_site \
+        python scripts/perf_subpixel_banded_width_ab.py
+"""
 import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RUN_SEED = int.from_bytes(os.urandom(4), "little")
 
@@ -21,7 +32,7 @@ enable_compilation_cache()
 print("backend:", jax.default_backend())
 
 
-def timed(name, body, sample, out_shape, n=3):
+def timed(name, body, sample, out_shape, size, n=3):
     def outer(s, keys):
         def step(acc, k):
             s_k = s * (1.0 + 1e-6 * jax.random.uniform(k))
@@ -38,7 +49,7 @@ def timed(name, body, sample, out_shape, n=3):
         t0 = time.perf_counter()
         float(f(sample, keys))
         best = min(best, (time.perf_counter() - t0) / n)
-    print(f"{name}: {best*1e3:.1f} ms/img = {2048/best:,.0f} steps/s")
+    print(f"{name}: {best*1e3:.1f} ms/img = {size/best:,.0f} steps/s")
     return best
 
 
@@ -50,10 +61,15 @@ for size, chunk in [(2048, 32), (1024, 32), (512, 32)]:
     geom = RescanGeometry(Grid(size, size), rescan_factor=1.5, chunk=chunk)
     shape = geom.canvas_shape
     print(f"--- {size}^2, R=1.5, b=1, per-step ---")
-    timed("hybrid (default)", lambda s, k: rescanned_line_sted_image(
-        s, params, geom, key=k, method="scan",
-        noise_mode="per_step").image, sample, shape)
+    # the kill switch pins this arm to the rDFT hybrid at every width
+    # (env is read at trace time; each timed() jits a fresh closure)
+    os.environ["RLS_BANDED_FUSED"] = "0"
+    timed("rDFT hybrid (RLS_BANDED_FUSED=0)",
+          lambda s, k: rescanned_line_sted_image(
+              s, params, geom, key=k, method="scan",
+              noise_mode="per_step").image, sample, shape, size)
+    os.environ["RLS_BANDED_FUSED"] = "1"
     timed("banded fused (use_pallas=True)",
           lambda s, k: rescanned_line_sted_image(
               s, params, geom, key=k, method="scan", noise_mode="per_step",
-              use_pallas=True).image, sample, shape)
+              use_pallas=True).image, sample, shape, size)
