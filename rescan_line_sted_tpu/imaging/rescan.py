@@ -290,10 +290,6 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # full camera frame each step, so detection cannot fold away here.
     otf_y = fftconv.profile_to_otf1d(psfs.detection_profile(h, params.sigma_det))
     gx = psfs.detection_profile(w, params.sigma_det)
-    # the full [W, W] circulant is only consumed by the full-frame engines;
-    # the banded paths window gx directly, so XLA dead-code-eliminates this
-    # build from their programs
-    gx_mat = fftconv.circulant_matrix(gx)
     sample_y = fftconv.convolve_otf1d(sample, otf_y, axis=-2, n=h)
 
     # Engine ladder (fastest first, each falling back to the next when its
@@ -363,20 +359,26 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
                  and (windowed[1] // b + 7) // 8 * 8 + 8 <= wc
                  and ((on_tpu and use_pallas is not False)
                       or (use_pallas is True and not per_step))
+                 # per-step q>1 b=1 crossover measured at default sigmas
+                 # (sigma_exc=2, sigma_det=2.5 -> d_out=128), chunk 32,
+                 # practical-R canvas (perf_subpixel_banded_width_ab.py:
+                 # hybrid wins <= 512, banded wins >= 1024); re-measure if
+                 # the default supports or chunk change materially
                  and not (per_step and bf_q is not None and bf_q > 1
                           and b == 1 and w <= 512
                           and use_pallas is not True)
                  and os.environ.get("RLS_BANDED_FUSED", "1") != "0")
     if banded_ok:
-        # VMEM residency: canvas block (q classes) + conv table + sample
-        # tile + scratch, all f32; stay under the kernel's 64 MB limit
-        dob_w = windowed[1] // b
-        w_pad_w = (dob_w + 7) // 8 * 8 + 8
-        wcp_w = -(-(wc + w_pad_w) // 8) * 8
-        vmem_est = 4 * (bf_q * wcp_w * lane + chunk * dob_w * windowed[0]
-                        + (w + windowed[0]) * lane * b
-                        + chunk * dob_w * lane + w_pad_w * lane)
-        banded_ok = vmem_est <= 50_000_000
+        # VMEM residency (canvas block, conv table, sample tile, binning
+        # columns, scratch -- one shared helper next to the kernel's spec
+        # list so gate and kernel can't drift); stay under the 64 MB limit
+        from rescan_line_sted_tpu.kernels.rescan_banded_fused import (
+            banded_fused_vmem_bytes,
+        )
+
+        banded_ok = banded_fused_vmem_bytes(
+            w=w, d_in=windowed[0], d_out=windowed[1], chunk=chunk,
+            binning=b, q=bf_q, wc=wc, hb=hb_) <= 50_000_000
     if banded_ok:
         pos = jnp.arange(w)
         if bf_p is None:
@@ -407,6 +409,12 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
         if key is not None and not per_step:
             canvas = maybe_poisson(key, canvas)
         return canvas
+
+    # The full [W, W] circulant is only consumed by the full-frame engines
+    # below; built after the banded early return so eager banded callers
+    # (rescanned_line_sted_image is not itself jitted) never pay the
+    # [W, W] table (~5.7 ms at 2048^2 -- round-3 advisor finding)
+    gx_mat = fftconv.circulant_matrix(gx)
 
     # Full-frame fused megakernel: the pre-banded fusion (whole camera
     # frame per position, canvas in VMEM). Default only for per-step noise

@@ -62,10 +62,37 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def banded_fused_vmem_bytes(*, w: int, d_in: int, d_out: int, chunk: int,
+                            binning: int, q: int, wc: int, hb: int) -> int:
+    """VMEM footprint (bytes) of one ``rescan_banded_fused`` grid step.
+
+    Mirrors the kernel's BlockSpec/scratch list one-for-one (conv table,
+    sample_ext tile, optional binning-column block, canvas block, camera
+    scratch, pad scratch) so the routing gate in ``imaging/rescan._scan``
+    can never drift from the kernel's actual residency -- in particular
+    the ``b > 1`` binning-column block, which a hand-copied estimate once
+    omitted (round-3 advisor finding).
+    """
+    b = binning
+    dob = d_out // b
+    lane_out = 128 if (hb % 128 == 0 and hb > 128) else hb
+    lane_in = lane_out * b
+    w_pad = _round_up(dob, 8) + 8
+    wcp = _round_up(wc + w_pad, 8)
+    n = (chunk * dob * d_in          # conv table block [C, dob, Di]
+         + (w + d_in) * lane_in      # sample_ext tile
+         + q * wcp * lane_out        # canvas block [q*wcp, lane]
+         + chunk * dob * lane_out    # camera scratch
+         + w_pad * lane_out)         # pad scratch
+    if b != 1:
+        n += lane_in * lane_out      # binning-column block [Li, Lo]
+    return 4 * n
+
+
 def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
             swb_ref, sample_ext_ref, *rest,
             chunk: int, d_in: int, dob: int, w_pad: int, noisy: bool,
-            n_tiles: int, binning: int):
+            n_tiles: int, binning: int, stage: str = "full"):
     if binning != 1:
         bcol_ref, out_ref, cam_scratch, pad_scratch = rest
     else:
@@ -94,7 +121,7 @@ def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
         cam = jnp.dot(cam, bcol_ref[...],
                       preferred_element_type=jnp.float32,
                       precision=_PRECISION)                  # [C*dob, Lo]
-    if noisy:
+    if noisy and stage in ("full", "sample"):
         from rescan_line_sted_tpu.kernels.poisson_pallas import (
             store_poisson_tiered,
         )
@@ -112,8 +139,35 @@ def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
             return carry
 
         jax.lax.fori_loop(0, n_sub, _sample, 0)
+    elif noisy and stage == "loop":
+        # diagnostic: the sampler loop's slice + max + seed + branch
+        # machinery with every tier predicated OFF (mx compared against an
+        # unreachable sentinel) -- isolates loop overhead from tier work
+        cam_scratch[:] = jnp.maximum(cam, 0.0)
+        n_sub = (chunk * dob) // _SUB_ROWS
+        base_seed = (ic * n_tiles + t) * n_sub
+
+        def _loop_only(k2, carry):
+            rows = pl.ds(pl.multiple_of(k2 * _SUB_ROWS, 8), _SUB_ROWS)
+            mx = jnp.max(cam_scratch[rows, :])
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] + base_seed + k2)
+
+            @pl.when(mx <= -1.0)
+            def _never():
+                cam_scratch[rows, :] = jnp.zeros(
+                    (_SUB_ROWS, cam_scratch.shape[-1]), jnp.float32)
+
+            return carry
+
+        jax.lax.fori_loop(0, n_sub, _loop_only, 0)
     else:
         cam_scratch[:] = cam
+
+    if stage in ("conv", "sample", "loop"):
+        # diagnostic stages skip per-frame placement; one fixed canvas add
+        # keeps the pipeline live (not DCE'd) without the placement loop
+        out_ref[pl.ds(0, w_pad), :] += cam_scratch[0:w_pad, :]
+        return
 
     # place each frame window: rows below m0 are this camera period, rows
     # at/after m0 wrapped into the next period (placed W/b earlier)
@@ -232,6 +286,17 @@ def rescan_banded_fused(
     noisy = seed is not None
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)
+    # Perf-diagnostic stage ladder (scripts/perf_roofline_2048.py): "conv"
+    # skips sampler+placement, "loop" runs the sampler loop machinery with
+    # tiers predicated off, "sample" skips placement, "place" skips the
+    # sampler. Any value but "full" produces PHYSICALLY WRONG output --
+    # never set outside roofline measurement.
+    import os
+
+    stage = os.environ.get("RLS_BANDED_STAGE", "full")
+    if stage == "place":
+        noisy = False
+        stage = "full"
 
     lane_out = 128 if (hb % 128 == 0 and hb > 128) else hb
     n_tiles = hb // lane_out
@@ -270,7 +335,7 @@ def rescan_banded_fused(
     padded = pl.pallas_call(
         functools.partial(_kernel, chunk=chunk, d_in=d_in, dob=dob,
                           w_pad=w_pad, noisy=noisy, n_tiles=n_tiles,
-                          binning=b),
+                          binning=b, stage=stage),
         out_shape=jax.ShapeDtypeStruct((q * wcp, hb), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

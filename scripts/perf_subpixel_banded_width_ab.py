@@ -53,6 +53,8 @@ def timed(name, body, sample, out_shape, size, n=3):
     return best
 
 
+_PRIOR_BANDED = os.environ.get("RLS_BANDED_FUSED")
+
 for size, chunk in [(2048, 32), (1024, 32), (512, 32)]:
     sample = samples.siemens_star((size, size))
     params = LineSTEDParams.create(depletion=8.0, sigma_exc=3.0,
@@ -73,3 +75,10 @@ for size, chunk in [(2048, 32), (1024, 32), (512, 32)]:
           lambda s, k: rescanned_line_sted_image(
               s, params, geom, key=k, method="scan", noise_mode="per_step",
               use_pallas=True).image, sample, shape, size)
+
+# restore whatever the caller had exported (don't clobber an external
+# RLS_BANDED_FUSED=0 for later runs in the same shell/process)
+if _PRIOR_BANDED is None:
+    os.environ.pop("RLS_BANDED_FUSED", None)
+else:
+    os.environ["RLS_BANDED_FUSED"] = _PRIOR_BANDED
