@@ -254,9 +254,14 @@ def dose_sweep_pipeline(out_dir: str, size: int = 256, num_powers: int = 16,
             merged.point.frc_resolution)
         curves["line_frc_resolution"] = np.asarray(
             merged.line.frc_resolution)
-        if fuse_orientations:  # unfused rescan canvas: anisotropic, skipped
+        if fuse_orientations:
             curves["rescan_frc_resolution"] = np.asarray(
                 merged.rescan.frc_resolution)
+        else:  # anisotropic unfused canvas: per-axis sectored FRC
+            curves["rescan_frc_resolution_x"] = np.asarray(
+                merged.rescan.frc_resolution_x)
+            curves["rescan_frc_resolution_y"] = np.asarray(
+                merged.rescan.frc_resolution_y)
         if include_ism:
             curves["ism_frc_resolution"] = np.asarray(
                 merged.ism.frc_resolution)

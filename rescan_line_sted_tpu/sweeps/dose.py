@@ -50,6 +50,11 @@ class ModalitySweep:
     # acquisition Fourier Ring Correlation (algorithms/frc.py, 1/7
     # criterion); None unless the sweep ran with frc=True
     frc_resolution: jnp.ndarray | None = None
+    # [B] per-axis sectored-FRC resolutions (sample px) for anisotropic
+    # canvases (the unfused rescan arm), where a radial ring would mix two
+    # different physical frequencies; None elsewhere / when frc=False
+    frc_resolution_x: jnp.ndarray | None = None
+    frc_resolution_y: jnp.ndarray | None = None
 
 
 @struct.dataclass
@@ -115,8 +120,11 @@ def dose_matched_sweep(
     two-acquisition Fourier Ring Correlation (``algorithms/frc.py``, 1/7
     criterion) in each arm's ``frc_resolution`` column [sample px] -- the
     data-driven counterpart to the kernel/point-response FWHM columns.
-    Arms whose images are anisotropically scaled (the unfused rescan
-    canvas) skip it; ISM's isotropic canvas is reported divided by R.
+    The unfused rescan canvas is anisotropically scaled, so its radial
+    FRC column stays None and it instead reports per-axis sectored-FRC
+    resolutions (``frc_resolution_x/_y``, sample px; see
+    ``algorithms/frc.frc_sectored_resolution``); ISM's isotropic canvas
+    is reported divided by R.
     """
     if frc and key is None:
         raise ValueError("frc=True needs a PRNG key (two noisy draws)")
@@ -310,12 +318,28 @@ def dose_matched_sweep(
             sample, lp_run, rescan_geom, key=kr).image
         hk = analytic.rescan_system_kernel(rescan_geom, lp)
         r_fy, r_fx = fwhm_2d(hk)
+        r_frc_x = r_frc_y = None
+        if frc:
+            from rescan_line_sted_tpu.algorithms.frc import (
+                frc_sectored_resolution,
+            )
+
+            # the canvas is anisotropic (x magnified R/b, y shrunk b) so
+            # radial FRC is meaningless; sectored per-axis FRC measures
+            # each axis's crossing, rescaled by that axis's factor alone
+            rimg2 = rescanned_line_sted_image(
+                sample, lp_run, rescan_geom,
+                key=jax.random.fold_in(kr, 1)).image
+            cx, cy = frc_sectored_resolution(rimg, rimg2)
+            r_frc_x = cx * rescan_geom.binning / rescan_geom.rescan_factor
+            r_frc_y = cy * rescan_geom.binning
         rescan_res = ModalitySweep(
             image=rimg,
             # canvas x is magnified by R/b and y shrunk by b; report
             # sample-scale resolution
             fwhm_x=r_fx * rescan_geom.binning / rescan_geom.rescan_factor,
             fwhm_y=r_fy * rescan_geom.binning,
+            frc_resolution_x=r_frc_x, frc_resolution_y=r_frc_y,
             emitted_signal=line_res.emitted_signal,
             exposure=exp_l,
             num_steps=ldose.num_steps * orientations,

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rescan_line_sted_tpu.algorithms import frc_curve, frc_resolution
+from rescan_line_sted_tpu.algorithms.frc import frc_sectored_resolution
 from rescan_line_sted_tpu.config import Grid, LineSTEDGeometry, LineSTEDParams
 from rescan_line_sted_tpu.data import samples
 from rescan_line_sted_tpu.imaging import line_sted_image
@@ -48,6 +49,77 @@ def test_frc_resolution_tracks_depletion():
     assert sted < confocal  # sharper PSF -> finer resolved frequency
     dim = two(12.0, 5.0)
     assert np.isnan(dim) or dim > sted  # photon-starved resolves less
+
+
+def test_sectored_matches_radial_on_isotropic_images():
+    """On an isotropically blurred noisy pair, each axis's sectored
+    resolution agrees with the radial one to within ring granularity."""
+    sample = samples.siemens_star((96, 96))
+    geom = LineSTEDGeometry(Grid(96, 96), chunk=32)
+    p = LineSTEDParams.create(depletion=6.0, brightness=2000.0,
+                              sigma_exc=2.0, sigma_det=2.0)
+    k1, k2 = jax.random.split(jax.random.key(3))
+    a = line_sted_image(sample, p, geom, key=k1).image
+    b = line_sted_image(sample, p, geom, key=k2).image
+    radial = float(frc_resolution(a, b))
+    rx, ry = jax.jit(frc_sectored_resolution)(a, b)
+    assert np.isfinite(float(rx)) and np.isfinite(float(ry))
+    # line-STED at one orientation is itself mildly anisotropic, so allow
+    # a generous band; both axes must bracket the radial crossing scale
+    assert 0.5 * radial < float(rx) < 2.5 * radial
+    assert 0.5 * radial < float(ry) < 2.5 * radial
+
+
+def test_sectored_detects_anisotropy():
+    """Blur one axis much harder than the other: the blurred axis's
+    sectored resolution must come out substantially coarser."""
+    key = jax.random.key(11)
+    base = samples.siemens_star((128, 128)) * 200.0
+    # anisotropic Gaussian blur via separable FFT smoothing
+    fy = jnp.fft.fftfreq(128)[:, None]
+    fx = jnp.fft.rfftfreq(128)[None, :]
+    sig_y, sig_x = 4.0, 0.8  # heavy blur along y only
+    otf = jnp.exp(-2 * jnp.pi ** 2 * ((sig_y * fy) ** 2 + (sig_x * fx) ** 2))
+
+    def acquire(k):
+        blurred = jnp.fft.irfft2(jnp.fft.rfft2(base) * otf, s=(128, 128))
+        return jax.random.poisson(k, jnp.maximum(blurred, 0.0)).astype(
+            jnp.float32)
+
+    k1, k2 = jax.random.split(key)
+    rx, ry = frc_sectored_resolution(acquire(k1), acquire(k2))
+    # resolution along y (set by the ky sector) is the blurred one
+    assert float(ry) > 1.5 * float(rx)
+
+
+def test_unfused_rescan_sweep_reports_per_axis_frc():
+    """The dose sweep's unfused rescan arm fills frc_resolution_x/_y
+    (sample px) instead of the radial column."""
+    from rescan_line_sted_tpu.config import (PointSTEDGeometry,
+                                             PointSTEDParams,
+                                             RescanGeometry)
+    from rescan_line_sted_tpu.sweeps.dose import dose_matched_sweep
+
+    size = 64
+    sample = samples.siemens_star((size, size)) * 4.0
+    pgeom = PointSTEDGeometry(Grid(size, size))
+    lgeom = LineSTEDGeometry(Grid(size, size), chunk=32)
+    rgeom = RescanGeometry(Grid(size, size), rescan_factor=2.0, chunk=32)
+    pp = PointSTEDParams.create(brightness=500.0, sigma_exc=2.0,
+                                sigma_det=2.0)
+    lp = LineSTEDParams.create(brightness=500.0, sigma_exc=2.0,
+                               sigma_det=2.0)
+    out = dose_matched_sweep(
+        sample, pp, lp, pgeom, lgeom, jnp.array([0.0, 4.0]),
+        dose_budget=3e5, key=jax.random.key(5), rescan_geom=rgeom,
+        frc=True)
+    assert out.rescan.frc_resolution is None
+    assert out.rescan.frc_resolution_x.shape == (2,)
+    assert out.rescan.frc_resolution_y.shape == (2,)
+    fin = np.asarray(out.rescan.frc_resolution_x)
+    assert np.all(np.isnan(fin) | (fin > 0))
+    # fused arms keep their radial columns
+    assert out.point.frc_resolution.shape == (2,)
 
 
 def test_frc_is_jittable_and_vmappable():
