@@ -4,7 +4,7 @@
 WARNING: UNRELIABLE through the axon tunnel -- isolated tiny programs
 sometimes return in dispatch-only wall time regardless of the fold-in
 methodology (numbers like 2+ Tpix/s are artifacts). Trust the
-ENGINE-LEVEL measurements in perf_hybrid_pieces*.py instead; this file is
+ENGINE-LEVEL measurements in perf_hybrid_stages.py instead; this file is
 kept as a record of the failed approach (docs/PERFORMANCE.md
 "Measurement methodology")."""
 
