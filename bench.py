@@ -156,6 +156,35 @@ def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
     return size / dt, size / dev_dt, compile_s, dt
 
 
+def bench_cold_compile():
+    """Cache-bypassed cold lower+compile of the collapsed scan program.
+
+    VERDICT r3 item 4: `compile_s` reflects the persistent cache once
+    `.jax_cache` is warm, so round-over-round compile health was
+    untracked. This measures a FRESH `jax.jit` wrapper with the
+    persistent compilation cache disabled: `lower()` is the trace cost
+    (the r3 eager-op-storm regression detector -- params as jit args keep
+    it ~1 s) and `compile()` is the real XLA/tunnel compile.
+    """
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        geom = LineSTEDGeometry(Grid(SCAN_SIZE, SCAN_SIZE), chunk=32)
+        sample = samples.siemens_star((SCAN_SIZE, SCAN_SIZE))
+        params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+        fn = jax.jit(lambda s, p, k: jnp.sum(line_sted_image(
+            s, p, geom, key=k, method="scan").image))
+        t0 = time.perf_counter()
+        lowered = fn.lower(sample, params, jax.random.key(RUN_SEED + 777))
+        lower_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lowered.compile()
+        compile_s = time.perf_counter() - t0
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+    return lower_s, compile_s
+
+
 def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
     """Rescanned line-STED scan throughput (default engine routing: rfft
     phase accumulation for collapsed, fused Pallas megakernel per-step)."""
@@ -590,6 +619,7 @@ def main():
     large_fov_dev = bench_large_fov_steps_per_sec(2048)
     large_ps_dev = bench_large_fov_per_step(2048)
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
+    cold_lower_s, cold_compile_s = bench_cold_compile()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
     anchor_measured, anchor_extrap = bench_oracle_anchor()
     oracle_ln_512 = bench_oracle_line_step_at(SCAN_SIZE)
@@ -654,7 +684,18 @@ def main():
             "scan_wall_s_per_image": round(scan_dt, 4),
             "compile_s": {"scan": round(scan_compile_s, 1),
                           "sweep": round(sweep_compile_s, 1),
-                          "persistent_cache": bool(cache_dir)},
+                          "persistent_cache": bool(cache_dir),
+                          # cache-bypassed fresh-jit trace + XLA compile
+                          # of the collapsed scan program (r3 VERDICT
+                          # item 4: tracked cold-compile health)
+                          "cold_lower_s": round(cold_lower_s, 1),
+                          "cold_compile_s": round(cold_compile_s, 1)},
+            # every *_chip field times one FORCED dispatch per call through
+            # the axon tunnel (~26 ms RTT): it measures dispatch, not
+            # compute. Round-over-round changes there are NOT perf
+            # regressions; compare *_device fields (docs/PERFORMANCE.md
+            # "Per-call vs amortized" -- r3 VERDICT item 5).
+            "per_call_chip_fields_dispatch_dominated": True,
             "north_star_target_x": 100.0,
         },
     }))

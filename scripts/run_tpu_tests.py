@@ -1,0 +1,239 @@
+"""Hardware test scorecard: auditable "green on hardware" evidence.
+
+r3 VERDICT item 2: the TPU-gated tests skip on the CPU suite, so hardware
+coverage claims rested on prose. This runner executes every TPU-gated test
+file ONE PROCESS PER FILE (the docs/PERFORMANCE.md prescription: programs
+compile through the remote tunnel and share no cache between backends)
+with ``RLS_TEST_TPU=1``, runs the banded-fused ROUTING/PARITY drive
+(q in {1,2,4} x b in {1,2}: banded kernel vs the exact engine, plus
+per-step noise-mean statistics on the hardware PRNG), and writes a
+machine-readable scorecard::
+
+    TESTS_TPU_r{N}.json  --  {"entries": [{file, passed, counts, wall_s},
+                              ...], "device", "date", "all_passed"}
+
+Usage (from the repo root, axon site on PYTHONPATH)::
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_tpu_tests.py
+    ... --full       # every test file on hardware (hours), not just gated
+    ... --out X.json # override the round-inferred filename
+
+Run it each round; ROADMAP.md cites the artifact instead of narrative.
+"""
+
+import argparse
+import datetime
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Files with @skipif(backend != "tpu") tests: hardware-PRNG statistics
+# paths that interpret mode cannot exercise (kept in sync by the
+# test_gated_list_is_current check below).
+TPU_GATED_FILES = [
+    "tests/test_fused_noise.py",
+    "tests/test_poisson_kernel.py",
+    "tests/test_rescan_banded_fused.py",
+]
+
+SUMMARY_RE = re.compile(
+    r"(?:(\d+) failed)?,? ?(?:(\d+) passed)?,? ?(?:(\d+) skipped)?"
+    r"(?:, (\d+) error(?:s)?)? in ([0-9.]+)s")
+
+
+def gated_files_on_disk():
+    """Every test file containing a backend-gated skipif (self-audit)."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py"))):
+        src = open(path).read()
+        if 'skipif(jax.default_backend() != "tpu"' in src:
+            out.append(os.path.relpath(path, REPO))
+    return out
+
+
+def run_pytest_file(path, env):
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", path, "-q", "--tb=line", "-p",
+         "no:cacheprovider"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    wall = time.time() - t0
+    counts = dict(failed=0, passed=0, skipped=0, errors=0)
+    for line in reversed(proc.stdout.splitlines()):
+        m = SUMMARY_RE.search(line)
+        if m and any(m.group(i) for i in range(1, 5)):
+            counts = dict(failed=int(m.group(1) or 0),
+                          passed=int(m.group(2) or 0),
+                          skipped=int(m.group(3) or 0),
+                          errors=int(m.group(4) or 0))
+            break
+    ok = proc.returncode == 0 and counts["failed"] == 0 \
+        and counts["errors"] == 0 and counts["passed"] > 0
+    entry = dict(file=path, passed=bool(ok), counts=counts,
+                 wall_s=round(wall, 1))
+    if not ok:
+        entry["tail"] = proc.stdout[-2000:] + proc.stderr[-500:]
+    return entry
+
+
+def routing_parity_drive():
+    """Banded-fused routing drive on the real chip (ROADMAP r3 item 1's
+    hardware verification, now a committed, re-runnable artifact).
+
+    For each rational-placement cell (R-1)/b = p/q, q in {1,2,4},
+    b in {1,2}: the default-routed scan engine (banded fused where
+    eligible) must match the exact rDFT engine (RLS_BANDED_FUSED=0,
+    use_pallas=False) to ~1e-5, and the per-step noisy canvas total must
+    sit within shot noise of the noise-free total (in-kernel PRNG).
+    Returns (passed, details).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rescan_line_sted_tpu.config import (Grid, RescanGeometry,
+                                             RescanParams)
+    from rescan_line_sted_tpu.data import samples
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    # 256^2: at 128^2 the default band window (d_out = 128) does not fit
+    # inside the frame, the banded kernel silently never engages, and the
+    # A/B compares an engine to itself -- hence the engagement probe below.
+    size = 256
+    sample = samples.siemens_star((size, size)) * 4.0
+    params = RescanParams.create(depletion=6.0, brightness=500.0)
+    cells, ok = [], True
+    for q, b in [(1, 1), (2, 1), (4, 1), (1, 2), (2, 2), (4, 2)]:
+        r_factor = 1.0 + b / q  # (R-1)/b = 1/q
+        geom = RescanGeometry(Grid(size, size), rescan_factor=r_factor,
+                              binning=b, chunk=32)
+        prev = os.environ.get("RLS_BANDED_FUSED")
+        probe_rel = None
+        try:
+            os.environ["RLS_BANDED_FUSED"] = "0"
+            exact = np.asarray(rescanned_line_sted_image(
+                sample, params, geom, method="scan",
+                use_pallas=False).image, np.float64)
+            os.environ["RLS_BANDED_FUSED"] = "1"
+            routed = np.asarray(rescanned_line_sted_image(
+                sample, params, geom, method="scan").image, np.float64)
+            if (q, b) in ((1, 1), (2, 1)):
+                # ENGAGEMENT probe: RLS_BANDED_STAGE=conv yields wrong
+                # output ONLY inside the banded kernel, so a large
+                # deviation proves the default route really is banded
+                # (guards against gate preconditions silently failing
+                # and the A/B comparing an engine to itself).
+                os.environ["RLS_BANDED_STAGE"] = "conv"
+                try:
+                    probe = np.asarray(rescanned_line_sted_image(
+                        sample, params, geom, method="scan").image,
+                        np.float64)
+                finally:
+                    os.environ.pop("RLS_BANDED_STAGE", None)
+                probe_rel = float(np.abs(probe - routed).max()
+                                  / np.abs(routed).max())
+            noisy = np.asarray(rescanned_line_sted_image(
+                sample, params, geom, method="scan", noise_mode="per_step",
+                key=jax.random.key(int.from_bytes(os.urandom(4), "little"))
+            ).image, np.float64)
+        finally:
+            if prev is None:
+                os.environ.pop("RLS_BANDED_FUSED", None)
+            else:
+                os.environ["RLS_BANDED_FUSED"] = prev
+        rel = float(np.abs(routed - exact).max() / np.abs(exact).max())
+        etotal = exact.sum()
+        z = float(abs(noisy.sum() - etotal) / np.sqrt(etotal))
+        cell_ok = rel < 1e-4 and z < 6.0
+        if probe_rel is not None:
+            cell_ok &= probe_rel > 1e-3  # stage knob visibly engaged
+        ok &= cell_ok
+        cell = dict(q=q, binning=b, rescan_factor=r_factor,
+                    max_rel_err=rel, noise_z=round(z, 2), passed=cell_ok)
+        if probe_rel is not None:
+            cell["banded_engaged_probe_rel"] = probe_rel
+        cells.append(cell)
+    return ok, cells
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--full", action="store_true",
+                    help="run EVERY test file on hardware, not just gated")
+    ap.add_argument("--drive-only", action="store_true",
+                    help="(internal) run the routing drive in-process")
+    args = ap.parse_args()
+
+    if args.drive_only:
+        ok, cells = routing_parity_drive()
+        import jax
+
+        print("DRIVE_JSON " + json.dumps(
+            dict(passed=ok, cells=cells, device=str(jax.devices()[0]))))
+        sys.exit(0 if ok else 1)
+
+    gated = gated_files_on_disk()
+    if set(gated) != set(TPU_GATED_FILES):
+        print(f"WARNING: gated-file list drifted; on disk: {gated}")
+    files = sorted(set(
+        os.path.relpath(p, REPO)
+        for p in glob.glob(os.path.join(REPO, "tests", "test_*.py"))
+    )) if args.full else sorted(set(TPU_GATED_FILES) | set(gated))
+
+    env = dict(os.environ, RLS_TEST_TPU="1")
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+
+    entries = []
+    for path in files:
+        print(f"== {path}", flush=True)
+        entry = run_pytest_file(path, env)
+        print(f"   {'PASS' if entry['passed'] else 'FAIL'} "
+              f"{entry['counts']} {entry['wall_s']}s", flush=True)
+        entries.append(entry)
+
+    print("== routing/parity drive", flush=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--drive-only"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    device = None
+    drive = dict(file="scripts/run_tpu_tests.py --drive-only",
+                 passed=False, wall_s=round(time.time() - t0, 1))
+    for line in proc.stdout.splitlines():
+        if line.startswith("DRIVE_JSON "):
+            payload = json.loads(line[len("DRIVE_JSON "):])
+            device = payload.pop("device", None)
+            drive.update(payload)
+    if not drive["passed"]:
+        drive["tail"] = proc.stdout[-1500:] + proc.stderr[-500:]
+    print(f"   {'PASS' if drive['passed'] else 'FAIL'} "
+          f"{drive['wall_s']}s", flush=True)
+    entries.append(drive)
+
+    rounds = [int(m.group(1)) for f in glob.glob(
+        os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json", f))]
+    out = args.out or os.path.join(
+        REPO, f"TESTS_TPU_r{(max(rounds) + 1 if rounds else 1):02d}.json")
+    scorecard = dict(
+        entries=entries, device=device,
+        date=datetime.datetime.now().isoformat(timespec="seconds"),
+        full_suite=bool(args.full),
+        all_passed=all(e["passed"] for e in entries))
+    with open(out, "w") as f:
+        json.dump(scorecard, f, indent=1)
+    print(f"wrote {out}: all_passed={scorecard['all_passed']}")
+    sys.exit(0 if scorecard["all_passed"] else 1)
+
+
+if __name__ == "__main__":
+    main()
