@@ -96,11 +96,16 @@ def rescanned_line_sted_image(
     semantics of each. ``boundary``: ``"circular"`` or ``"padded"`` (open
     boundary via pad-acquire-crop; dose reported for the requested field).
 
-    Spatial sharding (multi-chip): with ``sample`` sharded over a mesh
-    "space" axis pass ``use_pallas=False`` -- the fused Pallas megakernel
-    assumes a single-device layout (GSPMD would all-gather around it),
-    while the XLA scan/analytic paths shard cleanly (parity-tested on the
-    virtual mesh in tests/test_mesh.py and the driver dryrun).
+    Spatial sharding (multi-chip): for a ``sample`` sharded over a mesh
+    "space" axis prefer ``parallel.rescanned_line_sted_sharded`` -- the
+    banded-fused Pallas engine under ``shard_map`` (halo-exchanged y-conv,
+    per-device kernel; 8.9x the route below at 512^2 per-step, measured in
+    scripts/perf_sharded_ab.py). Where its preconditions fail (traced
+    sigmas, irrational placement step, H not divisible by the axis) pass
+    ``use_pallas=False`` here instead: the single-device megakernel would
+    make GSPMD all-gather around it, while the XLA scan/analytic paths
+    shard cleanly (parity-tested on the virtual mesh in tests/test_mesh.py
+    and the driver dryrun).
     """
     if boundary == "apodized":
         # raised-cosine taper to zero at the edges: kills wrap artifacts

@@ -163,6 +163,24 @@ def routing_parity_drive():
     return ok, cells
 
 
+def sharded_drive(env):
+    """The shard_map banded-engine drive (scripts/perf_sharded_ab.py):
+    parity + noise statistics + A/B vs the documented GSPMD route, as a
+    scorecard entry."""
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "perf_sharded_ab.py")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    entry = dict(file="scripts/perf_sharded_ab.py", passed=False,
+                 wall_s=round(time.time() - t0, 1))
+    for line in proc.stdout.splitlines():
+        if line.startswith("SHARDED_AB "):
+            entry.update(json.loads(line[len("SHARDED_AB "):]))
+    if not entry["passed"]:
+        entry["tail"] = proc.stdout[-1500:] + proc.stderr[-500:]
+    return entry
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None)
@@ -170,7 +188,29 @@ def main():
                     help="run EVERY test file on hardware, not just gated")
     ap.add_argument("--drive-only", action="store_true",
                     help="(internal) run the routing drive in-process")
+    ap.add_argument("--sharded-append", metavar="SCORECARD",
+                    help="run ONLY the shard_map drive and append the entry "
+                         "to an existing scorecard JSON")
     args = ap.parse_args()
+
+    if args.sharded_append:
+        env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+            [REPO] + ([os.environ["PYTHONPATH"]]
+                      if os.environ.get("PYTHONPATH") else [])))
+        entry = sharded_drive(env)
+        print(f"   {'PASS' if entry['passed'] else 'FAIL'} "
+              f"{entry['wall_s']}s", flush=True)
+        with open(args.sharded_append) as f:
+            scorecard = json.load(f)
+        scorecard["entries"] = [e for e in scorecard["entries"]
+                                if e["file"] != entry["file"]] + [entry]
+        scorecard["all_passed"] = all(
+            e["passed"] for e in scorecard["entries"])
+        with open(args.sharded_append, "w") as f:
+            json.dump(scorecard, f, indent=1)
+        print(f"updated {args.sharded_append}: "
+              f"all_passed={scorecard['all_passed']}")
+        sys.exit(0 if entry["passed"] else 1)
 
     if args.drive_only:
         ok, cells = routing_parity_drive()
@@ -218,6 +258,12 @@ def main():
     print(f"   {'PASS' if drive['passed'] else 'FAIL'} "
           f"{drive['wall_s']}s", flush=True)
     entries.append(drive)
+
+    print("== shard_map banded-engine drive", flush=True)
+    sentry = sharded_drive(env)
+    print(f"   {'PASS' if sentry['passed'] else 'FAIL'} "
+          f"{sentry['wall_s']}s", flush=True)
+    entries.append(sentry)
 
     rounds = [int(m.group(1)) for f in glob.glob(
         os.path.join(REPO, "BENCH_r*.json"))

