@@ -364,14 +364,12 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
                  and (windowed[1] // b + 7) // 8 * 8 + 8 <= wc
                  and ((on_tpu and use_pallas is not False)
                       or (use_pallas is True and not per_step))
-                 # per-step q>1 b=1 crossover measured at default sigmas
-                 # (sigma_exc=2, sigma_det=2.5 -> d_out=128), chunk 32,
-                 # practical-R canvas (perf_subpixel_banded_width_ab.py:
-                 # hybrid wins <= 512, banded wins >= 1024); re-measure if
-                 # the default supports or chunk change materially
-                 and not (per_step and bf_q is not None and bf_q > 1
-                          and b == 1 and w <= 512
-                          and use_pallas is not True)
+                 # the r3 per-step q>1 b=1 width gate (hybrid at w <= 512)
+                 # was removed in r4: the lane/sub-row retune (pick_lane
+                 # 256-512 tiles + 128-row sampler sub-blocks) lifted the
+                 # banded kernel past the hybrid at EVERY measured width
+                 # (512^2: 77.5k vs 49.5k steps/s; measured matrix in
+                 # docs/PERFORMANCE.md "2048^2 per-step roofline")
                  and os.environ.get("RLS_BANDED_FUSED", "1") != "0")
     if banded_ok:
         # VMEM residency (canvas block, conv table, sample tile, binning

@@ -55,11 +55,63 @@ from jax.experimental.pallas import tpu as pltpu
 from rescan_line_sted_tpu.config import matmul_precision
 
 _PRECISION = matmul_precision(pallas=True)
-_SUB_ROWS = 32  # sampler tier-dispatch granularity (rows of C*D_out/b)
+_SUB_ROWS = 32  # minimum sampler tier-dispatch granularity (rows)
+
+
+def _sub_rows(cam_rows: int) -> int:
+    """Sampler tier-dispatch granularity (rows of the [C*dob, lane] camera
+    scratch per tier decision).
+
+    The per-sub-block machinery (slice + max + seed + branch) is pure
+    iteration count -- at 2048^2 it cost 18.9 ms/img at 32-row granularity
+    vs ~4.7 at 128 (docs/PERFORMANCE.md r4 roofline) -- while coarser tier
+    decisions barely increase tier work (the band window is illuminated
+    almost everywhere, so sub-blocks rarely differ in tier). 128 rows wins
+    at every measured width (512^2 and 2048^2) and is the default wherever
+    it divides the camera block. RLS_BANDED_SUB_ROWS overrides for
+    experiments; must be a multiple of 8 and divide ``cam_rows``.
+    """
+    import os
+
+    forced = os.environ.get("RLS_BANDED_SUB_ROWS")
+    if forced:
+        return int(forced)
+    return 128 if cam_rows % 128 == 0 else _SUB_ROWS
+
+
+def pick_lane(hb: int) -> int:
+    """Canvas lane-tile width (the H/b axis tile of one grid step).
+
+    Wider tiles amortize per-invocation overhead (grid steps = hb/lane *
+    n_chunks) and per-sub-block sampler machinery (both measured dominant
+    at 2048^2 -- docs/PERFORMANCE.md r4 roofline): the default prefers the
+    widest of {512, 256, 128} dividing hb. VMEM stays well under the gate
+    at every shipped config (the routing gate recomputes the footprint
+    with this same helper). RLS_BANDED_LANE overrides for experiments.
+    """
+    import os
+
+    forced = os.environ.get("RLS_BANDED_LANE")
+    if forced:
+        return int(forced)
+    for lane in (512, 256, 128):
+        if hb % lane == 0 and hb > lane:
+            return lane
+    return hb
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def seeds_consumed(*, w: int, chunk: int, dob: int, hb: int) -> int:
+    """Number of PRNG seeds one noisy kernel run consumes: one per
+    (chunk, lane-tile, sampler sub-block). Callers running several kernel
+    instances from one key (e.g. per-device shards in
+    ``parallel.sharded_rescan``) stride their seed streams by this so
+    streams never collide, whatever lane/sub-row policy is active."""
+    return (w // chunk) * (hb // pick_lane(hb)) * (chunk * dob) \
+        // _sub_rows(chunk * dob)
 
 
 def banded_fused_vmem_bytes(*, w: int, d_in: int, d_out: int, chunk: int,
@@ -75,7 +127,7 @@ def banded_fused_vmem_bytes(*, w: int, d_in: int, d_out: int, chunk: int,
     """
     b = binning
     dob = d_out // b
-    lane_out = 128 if (hb % 128 == 0 and hb > 128) else hb
+    lane_out = pick_lane(hb)
     lane_in = lane_out * b
     w_pad = _round_up(dob, 8) + 8
     wcp = _round_up(wc + w_pad, 8)
@@ -92,7 +144,8 @@ def banded_fused_vmem_bytes(*, w: int, d_in: int, d_out: int, chunk: int,
 def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
             swb_ref, sample_ext_ref, *rest,
             chunk: int, d_in: int, dob: int, w_pad: int, noisy: bool,
-            n_tiles: int, binning: int, stage: str = "full"):
+            n_tiles: int, binning: int, sub_rows: int = _SUB_ROWS,
+            stage: str = "full"):
     if binning != 1:
         bcol_ref, out_ref, cam_scratch, pad_scratch = rest
     else:
@@ -129,11 +182,11 @@ def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
         # clamp band-limited negative excursions (same contract as
         # poisson_rows_tiered's wrapper) before drawing counts
         cam_scratch[:] = jnp.maximum(cam, 0.0)
-        n_sub = (chunk * dob) // _SUB_ROWS
+        n_sub = (chunk * dob) // sub_rows
         base_seed = (ic * n_tiles + t) * n_sub
 
         def _sample(k2, carry):
-            rows = pl.ds(pl.multiple_of(k2 * _SUB_ROWS, 8), _SUB_ROWS)
+            rows = pl.ds(pl.multiple_of(k2 * sub_rows, 8), sub_rows)
             store_poisson_tiered(cam_scratch, rows, cam_scratch[rows, :],
                                  (seed_ref[0], seed_ref[1] + base_seed + k2))
             return carry
@@ -144,18 +197,18 @@ def _kernel(sa_lo_ref, sa_hi_ref, m0_ref, seed_ref,
         # machinery with every tier predicated OFF (mx compared against an
         # unreachable sentinel) -- isolates loop overhead from tier work
         cam_scratch[:] = jnp.maximum(cam, 0.0)
-        n_sub = (chunk * dob) // _SUB_ROWS
+        n_sub = (chunk * dob) // sub_rows
         base_seed = (ic * n_tiles + t) * n_sub
 
         def _loop_only(k2, carry):
-            rows = pl.ds(pl.multiple_of(k2 * _SUB_ROWS, 8), _SUB_ROWS)
+            rows = pl.ds(pl.multiple_of(k2 * sub_rows, 8), sub_rows)
             mx = jnp.max(cam_scratch[rows, :])
             pltpu.prng_seed(seed_ref[0], seed_ref[1] + base_seed + k2)
 
             @pl.when(mx <= -1.0)
             def _never():
                 cam_scratch[rows, :] = jnp.zeros(
-                    (_SUB_ROWS, cam_scratch.shape[-1]), jnp.float32)
+                    (sub_rows, cam_scratch.shape[-1]), jnp.float32)
 
             return carry
 
@@ -236,7 +289,8 @@ def rescan_banded_fused(
                          "sample wraps the circular boundary at most once)")
     if chunk % b or d_out % b or ((d_out - chunk) // 2) % b:
         raise ValueError("binning must align the frame window")
-    if (chunk * dob) % _SUB_ROWS:
+    sub_rows = _sub_rows(chunk * dob)
+    if (chunk * dob) % sub_rows:
         raise ValueError("chunk * d_out/b must be a multiple of 32")
     w_pad = _round_up(dob, 8) + 8
     if w_pad > wc:
@@ -298,7 +352,7 @@ def rescan_banded_fused(
         noisy = False
         stage = "full"
 
-    lane_out = 128 if (hb % 128 == 0 and hb > 128) else hb
+    lane_out = pick_lane(hb)
     n_tiles = hb // lane_out
     lane_in = lane_out * b
 
@@ -335,7 +389,7 @@ def rescan_banded_fused(
     padded = pl.pallas_call(
         functools.partial(_kernel, chunk=chunk, d_in=d_in, dob=dob,
                           w_pad=w_pad, noisy=noisy, n_tiles=n_tiles,
-                          binning=b, stage=stage),
+                          binning=b, sub_rows=sub_rows, stage=stage),
         out_shape=jax.ShapeDtypeStruct((q * wcp, hb), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

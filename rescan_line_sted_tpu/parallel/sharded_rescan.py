@@ -182,11 +182,14 @@ def rescanned_line_sted_sharded(
         offsets = ((bf_p * pos) // bf_q).astype(jnp.int32)
         classes = (pos % bf_q).astype(jnp.int32)
 
-    # per-device seed stride: the kernel consumes seeds
-    # (chunk_idx * n_tiles + tile) * n_sub + sub < n_chunks*n_tiles*n_sub
-    hb_loc = h_loc // b
-    lane = 128 if (hb_loc % 128 == 0 and hb_loc > 128) else hb_loc
-    stride = (w // chunk) * (hb_loc // lane) * ((chunk * dob) // 32)
+    # per-device seed stride: one seed per (chunk, lane-tile, sub-block),
+    # computed by the kernel's own accounting so lane/sub-row policy
+    # changes can never cause stream collisions
+    from rescan_line_sted_tpu.kernels.rescan_banded_fused import (
+        seeds_consumed,
+    )
+
+    stride = seeds_consumed(w=w, chunk=chunk, dob=dob, hb=h_loc // b)
     if per_step:
         seed = jax.random.randint(key, (2,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)

@@ -80,6 +80,41 @@ def test_banded_fused_matches_dense_oracle(q, binning, rf):
                                atol=2e-5 * float(np.max(want)))
 
 
+def test_lane_and_sub_row_policies_match(monkeypatch):
+    """The r4 lane-tile / sampler-sub-row retune is pure scheduling: every
+    (RLS_BANDED_LANE, RLS_BANDED_SUB_ROWS) choice must produce the same
+    noise-free canvas up to f32 accumulation order (the lane axis only
+    tiles H -- retiling can reassociate the matmul's f32 sums -- and
+    sub-rows only regroup tier decisions, which noise-free paths never
+    take). Hardware parity at the shipping widths is asserted in
+    scripts/perf_roofline_2048.py --matrix (2.9e-6 vs the exact engine
+    at every cell)."""
+    rng = np.random.default_rng(11)
+    h = w = 64
+    wc = 96
+    sample = jnp.asarray(rng.random((h, w)), jnp.float32)
+    eff = _profile(w, 1.6)
+    gxp = _profile(w, 1.4)
+    offs = jnp.asarray((np.arange(w) // 2), jnp.int32)
+
+    def run():
+        return np.asarray(rescan_banded_fused(
+            sample, eff, gxp, offs, wc=wc, d_in=32, d_out=48, chunk=8,
+            interpret=True))
+
+    base = run()
+    scale = float(np.abs(base).max())
+    for lane, sub in [(32, 32), (64, 32), (32, 128), (64, 128)]:
+        # chunk*dob = 8*48 = 384, a multiple of both sub choices
+        monkeypatch.setenv("RLS_BANDED_LANE", str(lane))
+        monkeypatch.setenv("RLS_BANDED_SUB_ROWS", str(sub))
+        np.testing.assert_allclose(run(), base, rtol=1e-5,
+                                   atol=1e-5 * scale,
+                                   err_msg=f"{lane}/{sub}")
+    monkeypatch.delenv("RLS_BANDED_LANE")
+    monkeypatch.delenv("RLS_BANDED_SUB_ROWS")
+
+
 def test_banded_fused_guards():
     h = w = 64
     sample = jnp.zeros((h, w), jnp.float32)
