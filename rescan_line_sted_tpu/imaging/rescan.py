@@ -333,17 +333,12 @@ def _scan(sample, params, geom, key, use_pallas, noise_mode="collapsed",
     # ``strips is not None`` branch of _scan_fallback). The q>1 hardware
     # A/B (scripts/perf_subpixel_banded_ab.py, 512^2, q in {2, 4, 8})
     # confirms collapsed 90-100k vs 8-75k and per-step b=2 89.6k vs
-    # 56.6k, but measures per-step q>1 at b=1 a consistent 2-9% BEHIND
-    # the rDFT hybrid at 512^2 (65-66k vs 66-73k) -- the sampler runs on
-    # unbinned lanes there while the residue pass adds q-class spectral
-    # work. That trade is WIDTH-DEPENDENT: the hybrid's rDFT placement
-    # work per step scales ~W^2 (K x H both grow) while the banded
-    # kernel's scatter does not, and the width A/B
-    # (scripts/perf_subpixel_banded_width_ab.py: 512^2 hybrid 25.4k vs
-    # banded 23.7k; 1024^2 24.1k vs 28.6k; 2048^2 6.5k vs 17.9k) puts the
-    # crossover between 512 and 1024 -- so only w <= 512 keeps the hybrid
-    # default in that cell (banded still reachable with use_pallas=True).
-    # Truly-irrational
+    # 56.6k. The one cell that measured behind the hybrid under r3's
+    # hardcoded lane=128 (per-step q>1 at b=1 at w <= 512) flipped with
+    # the r4 lane/sub-row retune (pick_lane 256-512 tiles + 128-row
+    # sampler sub-blocks: 77.5k vs 49.5k at 512^2, and the hybrid's
+    # ~W^2 rDFT placement work only loses ground wider), so banded is
+    # the default for EVERY rational placement cell. Truly-irrational
     # subpixel steps stay on the rDFT hybrid. Per-step noise needs the
     # hardware PRNG (interpret mode yields zeros), so off-TPU the noisy
     # path never routes here; use_pallas=True forces the noise-free path
