@@ -96,16 +96,18 @@ def rescanned_line_sted_image(
     semantics of each. ``boundary``: ``"circular"`` or ``"padded"`` (open
     boundary via pad-acquire-crop; dose reported for the requested field).
 
-    Spatial sharding (multi-chip): for a ``sample`` sharded over a mesh
-    "space" axis prefer ``parallel.rescanned_line_sted_sharded`` -- the
+    Spatial sharding (multi-chip): a concrete ``sample`` committed to a
+    ``NamedSharding`` that splits ROWS over one mesh axis auto-routes the
+    scan path onto ``parallel.rescanned_line_sted_sharded`` -- the
     banded-fused Pallas engine under ``shard_map`` (halo-exchanged y-conv,
-    per-device kernel; 8.9x the route below at 512^2 per-step, measured in
+    per-device kernel; 8.9x the GSPMD route at 512^2 per-step, measured in
     scripts/perf_sharded_ab.py). Where its preconditions fail (traced
-    sigmas, irrational placement step, H not divisible by the axis) pass
-    ``use_pallas=False`` here instead: the single-device megakernel would
-    make GSPMD all-gather around it, while the XLA scan/analytic paths
-    shard cleanly (parity-tested on the virtual mesh in tests/test_mesh.py
-    and the driver dryrun).
+    sigmas, irrational placement step, H not divisible by the axis, noisy
+    per-step off-TPU) the call falls through to the XLA scan path below,
+    which shards cleanly under GSPMD (parity-tested on the virtual mesh in
+    tests/test_mesh.py and the driver dryrun). Inside ``jit`` the sharding
+    is not inspectable -- call the explicit sharded API there, or pass
+    ``use_pallas=False``.
     """
     if boundary == "apodized":
         # raised-cosine taper to zero at the edges: kills wrap artifacts
@@ -135,11 +137,71 @@ def rescanned_line_sted_image(
     if method == "analytic":
         image = _analytic(sample, params, geom, key)
     elif method == "scan":
+        routed = _route_row_sharded(sample, params, geom, key, use_pallas,
+                                    noise_mode, reassignment)
+        if routed is not None:
+            return routed
         image = _scan(sample, params, geom, key, use_pallas, noise_mode,
                       reassignment)
     else:
         raise ValueError(f"unknown method {method!r}")
     return AcquisitionResult(image=image, dose=line_sted_dose(params, geom))
+
+
+def _row_sharded_mesh(sample):
+    """``(mesh, axis)`` when ``sample`` is a concrete array committed to a
+    ``NamedSharding`` that splits rows over exactly ONE mesh axis spanning
+    more than one device and leaves columns whole; ``None`` otherwise.
+    Tracers always return ``None``: inside ``jit`` the sharding is GSPMD's
+    to propagate, and the scan paths shard cleanly there."""
+    if isinstance(sample, jax.core.Tracer):
+        return None
+    sh = getattr(sample, "sharding", None)
+    if not isinstance(sh, jax.sharding.NamedSharding):
+        return None
+    spec = tuple(sh.spec) + (None,) * (2 - len(tuple(sh.spec)))
+    row, col = spec[0], spec[1]
+    if col is not None:
+        return None
+    if isinstance(row, tuple):
+        row = row[0] if len(row) == 1 else None
+    if row is None or sh.mesh.shape[row] <= 1:
+        return None
+    return sh.mesh, row
+
+
+def _route_row_sharded(sample, params, geom, key, use_pallas, noise_mode,
+                       reassignment):
+    """Auto-route a row-sharded eager call onto the shard_map banded-fused
+    engine (``parallel.rescanned_line_sted_sharded``); ``None`` when the
+    sample is not row-sharded, the caller opted out, or the sharded
+    engine's preconditions fail (the GSPMD scan path takes over).
+
+    Engagement mirrors ``_scan``'s ``banded_ok`` gating: on TPU unless
+    ``use_pallas=False``; off-TPU only with ``use_pallas=True`` (the
+    interpret-mode kernel, parity tests); ``RLS_BANDED_FUSED=0`` disables.
+    """
+    import os
+
+    if os.environ.get("RLS_BANDED_FUSED", "1") == "0":
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if not ((on_tpu and use_pallas is not False) or use_pallas is True):
+        return None
+    hit = _row_sharded_mesh(sample)
+    if hit is None:
+        return None
+    mesh, axis = hit
+    from rescan_line_sted_tpu.parallel.sharded_rescan import (
+        rescanned_line_sted_sharded,
+    )
+
+    try:
+        return rescanned_line_sted_sharded(
+            sample, params, geom, mesh, axis=axis, key=key,
+            noise_mode=noise_mode, reassignment=reassignment)
+    except ValueError:
+        return None  # preconditions failed; GSPMD scan path shards cleanly
 
 
 def optimal_rescan_factor(params: RescanParams, width: int) -> jnp.ndarray:

@@ -522,3 +522,61 @@ def test_sharded_banded_rescan_validates():
         rescanned_line_sted_sharded(
             small, params, RescanGeometry(Grid(64, 64), rescan_factor=1.5,
                                           chunk=16), mesh3)
+
+
+def test_scan_path_auto_routes_row_sharded_sample(monkeypatch):
+    """A concrete sample committed to a row-splitting NamedSharding
+    auto-routes ``rescanned_line_sted_image(method="scan")`` onto the
+    shard_map banded-fused engine -- and silently falls back to the GSPMD
+    scan path where that engine's preconditions fail (irrational R)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    from rescan_line_sted_tpu.parallel import sharded_rescan as sr
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    w = 192  # smallest grid where the 128-aligned band windows engage
+    sample = samples.siemens_star((w, w), spokes=10) * 3.0
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2,
+                                   depletion=4.0, brightness=50.0)
+    geom = RescanGeometry(Grid(w, w), rescan_factor=1.5, chunk=16)
+    ref = rescanned_line_sted_image(sample, params, geom, method="scan",
+                                    use_pallas=True).image
+
+    engaged = []
+    orig = sr.rescanned_line_sted_sharded
+
+    def spy(*a, **kw):
+        engaged.append(kw.get("axis"))
+        return orig(*a, **kw)
+
+    # _route_row_sharded re-imports from the module at call time, so
+    # patching the module attribute intercepts the routed call
+    monkeypatch.setattr(sr, "rescanned_line_sted_sharded", spy)
+    sharded = jax.device_put(sample, NamedSharding(mesh, P("space", None)))
+    got = rescanned_line_sted_image(sharded, params, geom, method="scan",
+                                    use_pallas=True).image
+    assert engaged == ["space"]
+    assert got.shape == geom.canvas_shape
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5 * scale)
+
+    # irrational placement step: the sharded engine refuses; the call must
+    # fall back to the GSPMD scan path, not raise
+    engaged.clear()
+    geom_ir = RescanGeometry(Grid(w, w), rescan_factor=1.0 + np.pi / 16,
+                             chunk=16)
+    got_ir = rescanned_line_sted_image(sharded, params, geom_ir,
+                                       method="scan", use_pallas=True)
+    assert engaged == ["space"]  # attempted, refused inside, fell back
+    assert got_ir.image.shape == geom_ir.canvas_shape
+
+    # a batch-replicated (column-whole, row-whole) committed sample must
+    # NOT route: only row-splitting shardings engage the shard_map engine
+    engaged.clear()
+    repl = jax.device_put(sample, NamedSharding(mesh, P(None, None)))
+    rescanned_line_sted_image(repl, params, geom, method="scan",
+                              use_pallas=True)
+    assert engaged == []
