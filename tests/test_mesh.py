@@ -580,3 +580,42 @@ def test_scan_path_auto_routes_row_sharded_sample(monkeypatch):
     rescanned_line_sted_image(repl, params, geom, method="scan",
                               use_pallas=True)
     assert engaged == []
+
+
+def test_auto_route_per_step_noise_falls_back_off_tpu(monkeypatch):
+    """Off-TPU, per-step noise cannot draw from the hardware PRNG inside
+    the sharded kernel: the auto-route must attempt, get refused, and fall
+    back to the GSPMD scan path (which draws per-step noise in XLA) --
+    never raise and never return a silently noise-free canvas."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    from rescan_line_sted_tpu.parallel import sharded_rescan as sr
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    w = 192
+    sample = samples.siemens_star((w, w), spokes=10) * 3.0
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2,
+                                   depletion=4.0, brightness=200.0)
+    geom = RescanGeometry(Grid(w, w), rescan_factor=1.5, chunk=16)
+
+    engaged = []
+    orig = sr.rescanned_line_sted_sharded
+
+    def spy(*a, **kw):
+        engaged.append(True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sr, "rescanned_line_sted_sharded", spy)
+    sharded = jax.device_put(sample, NamedSharding(mesh, P("space", None)))
+    noisefree = rescanned_line_sted_image(
+        sharded, params, geom, method="scan", use_pallas=True).image
+    got = rescanned_line_sted_image(
+        sharded, params, geom, method="scan", use_pallas=True,
+        key=jax.random.key(7), noise_mode="per_step").image
+    assert engaged  # the route was attempted before falling back
+    # integer counts with shot-noise scatter, not the noise-free canvas
+    assert not np.allclose(np.asarray(got), np.asarray(noisefree))
+    total, expect = float(jnp.sum(got)), float(jnp.sum(noisefree))
+    assert abs(total - expect) < 6.0 * np.sqrt(expect) + 1e-6
