@@ -50,13 +50,31 @@ from rescan_line_sted_tpu.config import RescanGeometry, RescanParams
 from rescan_line_sted_tpu.imaging.line_sted import effective_line_profile
 from rescan_line_sted_tpu.imaging.point_sted import AcquisitionResult
 from rescan_line_sted_tpu.imaging.rescan import (
+    _NUFFT_P,
     _apply_class_residues,
+    _apply_nufft_deconv,
     _illum_band,
+    _nufft_deconv_inv,
+    _nufft_spread_tables,
     _rational_step,
 )
 from rescan_line_sted_tpu.physics import psf as psfs
 from rescan_line_sted_tpu.physics.dose import line_sted_dose
 from rescan_line_sted_tpu.physics.noise import maybe_poisson
+
+
+class ShardedPreconditionError(ValueError):
+    """A documented precondition of ``rescanned_line_sted_sharded`` does
+    not hold for this (sample, params, geom, mesh) combination -- the
+    GSPMD scan path handles the case instead.
+
+    Raised ONLY by the engine's up-front precondition block; the
+    auto-route (``imaging/rescan._route_row_sharded``) catches exactly
+    this type, so a genuine bug downstream (any other exception,
+    including a plain ValueError from argument validation or a
+    shape/spec regression inside the shard_map body) PROPAGATES instead
+    of being silently rerouted onto the ~9x-slower path (r4 VERDICT
+    weak #6 / advisor finding 1)."""
 
 
 def _det_support(params) -> int | None:
@@ -84,12 +102,21 @@ def rescanned_line_sted_sharded(
 
     Drop-in for ``rescanned_line_sted_image(..., method="scan")`` when the
     sample is (or should be) spatially sharded: returns the same canvas,
-    with its rows sharded over ``axis``. Requirements (``ValueError``
-    otherwise -- this API is explicit, it does not silently fall back):
+    with its rows sharded over ``axis``. ``mesh`` may be a concrete
+    ``jax.sharding.Mesh`` or (inside ``jit``, where only the aval's
+    abstract mesh is visible) a ``jax.sharding.AbstractMesh`` -- shard_map
+    resolves the latter at run time. Requirements
+    (``ShardedPreconditionError``, a ``ValueError`` subtype, otherwise --
+    this API is explicit, it does not silently fall back; INVALID
+    ARGUMENTS like an unknown noise_mode/reassignment raise plain
+    ``ValueError``, exactly as the unsharded engine does):
 
     * static band windows (concrete sigmas / default-excitation model),
-    * rational placement step ``(R-1)/b = p/q`` with ``q <= 8``, ``q |
-      chunk`` (rounded reassignment is the q=1 case, any R),
+    * ANY placement step: rational ``(R-1)/b = p/q`` with ``q <= 8``,
+      ``q | chunk`` runs class placement (rounded reassignment is the
+      q=1 case); irrational / larger-q steps run the kernel's NUFFT
+      spreading mode (r5; ``ShardedPreconditionError`` only when
+      ``RLS_BANDED_NUFFT=0`` disables it),
     * ``H`` divisible by the mesh axis size; the per-device row block at
       least the detection support (halo crosses ONE neighbour) and
       divisible by the binning.
@@ -100,53 +127,77 @@ def rescanned_line_sted_sharded(
     noise-free/collapsed paths are exact there, which is what the virtual
     CPU mesh parity tests exercise.
     """
+    # argument validation (plain ValueError, same as the unsharded engine
+    # -- round-4 advisor finding 2: identical arguments must not validate
+    # differently depending on sharding)
     if noise_mode not in ("collapsed", "per_step"):
         raise ValueError(f"unknown noise_mode {noise_mode!r}")
+    if reassignment not in ("auto", "rounded", "subpixel"):
+        raise ValueError(f"unknown reassignment {reassignment!r}")
     h, w = geom.grid.shape
     b = geom.binning
     chunk = geom.chunk
     hc, wc = geom.canvas_shape
     n_dev = mesh.shape[axis]
     if h % n_dev:
-        raise ValueError(f"H={h} not divisible by mesh axis {axis}={n_dev}")
+        raise ShardedPreconditionError(
+            f"H={h} not divisible by mesh axis {axis}={n_dev}")
     h_loc = h // n_dev
     if h_loc % b:
-        raise ValueError(f"per-device rows {h_loc} not divisible by "
-                         f"binning {b}")
+        raise ShardedPreconditionError(
+            f"per-device rows {h_loc} not divisible by binning {b}")
     s_det = _det_support(params)
     if s_det is None:
-        raise ValueError("traced sigma_det: no static halo width; use the "
-                         "GSPMD scan path (use_pallas=False)")
+        raise ShardedPreconditionError(
+            "traced sigma_det: no static halo width; use the "
+            "GSPMD scan path (use_pallas=False)")
     s_det = min(s_det, h // 2)  # profile window cannot exceed the grid
     if n_dev > 1 and s_det > h_loc:
-        raise ValueError(
+        raise ShardedPreconditionError(
             f"halo {s_det} px exceeds the per-device row block {h_loc}; "
             f"use fewer devices on axis {axis!r}")
 
     # placement classes: integer offsets within q fractional-residue
-    # classes (the banded kernel's contract; see imaging/rescan._scan)
+    # classes (the banded kernel's contract; see imaging/rescan._scan).
+    # Irrational (or q > 8 rational) steps run the kernel's NUFFT
+    # spreading mode instead (r5): two parity canvases of a
+    # 2x-oversampled fine grid + one window deconvolution per device
+    # block -- all stages stay independent per camera row, so the halo
+    # ring and the epilogue are unchanged.
+    import os
+
     if reassignment == "auto":
         step = (geom.rescan_factor - 1.0) / b
         reassignment = "rounded" if abs(step - round(step)) < 1e-9 \
             else "subpixel"
+    nufft = False
     if reassignment == "rounded":
         bf_p, bf_q = None, 1
     else:
         pq = _rational_step((float(geom.rescan_factor) - 1.0) / b, chunk)
         if pq is None:
-            raise ValueError(
-                "irrational placement step: the banded kernel has no class "
-                "structure; use the GSPMD scan path (use_pallas=False)")
-        bf_p, bf_q = pq
+            if os.environ.get("RLS_BANDED_NUFFT", "1") == "0":
+                raise ShardedPreconditionError(
+                    "irrational placement step with NUFFT spreading "
+                    "disabled (RLS_BANDED_NUFFT=0); use the GSPMD scan "
+                    "path (use_pallas=False)")
+            nufft = True
+            bf_p, bf_q = None, 2  # parity canvases of the fine grid
+        else:
+            bf_p, bf_q = pq
     windowed = _illum_band(params, w, chunk, b)
     if windowed is None or windowed[1] is None:
-        raise ValueError("no static band windows (traced sigmas / custom "
-                         "excitation / window not narrower than the frame)")
+        raise ShardedPreconditionError(
+            "no static band windows (traced sigmas / custom "
+            "excitation / window not narrower than the frame)")
     d_in, d_out = windowed
     dob = d_out // b
-    if chunk % 8 or (chunk * dob) % 32 or (dob + 7) // 8 * 8 + 8 > wc:
-        raise ValueError("banded kernel alignment preconditions failed "
-                         f"(chunk={chunk}, d_out/b={dob}, wc={wc})")
+    n_spread = _NUFFT_P // 2 if nufft else 0
+    d_place = dob + max(n_spread - 1, 0)
+    if chunk % 8 or (chunk * dob) % 32 or (d_place + 7) // 8 * 8 + 8 > wc:
+        raise ShardedPreconditionError(
+            "banded kernel alignment preconditions failed "
+            f"(chunk={chunk}, d_out/b={dob}, wc={wc})")
     from rescan_line_sted_tpu.kernels.rescan_banded_fused import (
         banded_fused_vmem_bytes,
         rescan_banded_fused,
@@ -154,16 +205,22 @@ def rescanned_line_sted_sharded(
 
     if banded_fused_vmem_bytes(w=w, d_in=d_in, d_out=d_out, chunk=chunk,
                                binning=b, q=bf_q, wc=wc,
-                               hb=h_loc // b) > 50_000_000:
-        raise ValueError("banded kernel VMEM estimate exceeds the gate at "
-                         "this per-device block")
+                               hb=h_loc // b,
+                               n_spread=n_spread) > 50_000_000:
+        raise ShardedPreconditionError(
+            "banded kernel VMEM estimate exceeds the gate at "
+            "this per-device block")
 
     on_tpu = jax.default_backend() == "tpu"
     per_step = key is not None and noise_mode == "per_step"
     if per_step and not on_tpu:
-        raise ValueError("per-step noise draws in-kernel from the TPU "
-                         "hardware PRNG (no CPU lowering); use the GSPMD "
-                         "scan path (use_pallas=False) off-TPU")
+        raise ShardedPreconditionError(
+            "per-step noise draws in-kernel from the TPU "
+            "hardware PRNG (no CPU lowering); use the GSPMD "
+            "scan path (use_pallas=False) off-TPU")
+    # END of the precondition block: everything below is the engine body;
+    # an exception past this point is a bug and must surface (see
+    # ShardedPreconditionError)
 
     # replicated tables ([W]/[2S+1]-sized; traced params flow through)
     eff_scaled = params.brightness * effective_line_profile(w, params)
@@ -174,7 +231,15 @@ def rescanned_line_sted_sharded(
     ker = gy[h // 2 - s_det: h // 2 + s_det + 1][::-1]
 
     pos = jnp.arange(w)
-    if bf_p is None:
+    if nufft:
+        import numpy as np
+
+        offs_f = (float(geom.rescan_factor) - 1.0) \
+            * np.arange(w, dtype=np.float64) / b
+        # the per-parity integer offsets and tap weights ride the
+        # offsets/classes operand slots into shard_map (both replicated)
+        offsets, classes = _nufft_spread_tables(offs_f)
+    elif bf_p is None:
         offsets = jnp.round(
             (geom.rescan_factor - 1.0) * pos / b).astype(jnp.int32)
         classes = jnp.zeros((w,), jnp.int32)
@@ -197,7 +262,7 @@ def rescanned_line_sted_sharded(
         seed = jnp.zeros((2,), jnp.int32)
 
     fracs = ([((bf_p * r) % bf_q) / bf_q for r in range(bf_q)]
-             if bf_q > 1 else [0.0])
+             if bf_q > 1 and not nufft else [0.0])
     ring = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     ring_up = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
@@ -219,6 +284,13 @@ def rescanned_line_sted_sharded(
             spec * jnp.conj(jnp.fft.rfft(kerp))[:, None],
             n=ell, axis=0)[:h_loc]
         dev_seed = seed_a.at[1].add(jax.lax.axis_index(axis) * stride)
+        if nufft:
+            folded = rescan_banded_fused(
+                sample_y, eff_s, gx_a, jnp.zeros((w,), jnp.int32),
+                wc=wc, d_in=d_in, d_out=d_out, chunk=chunk, binning=b,
+                seed=dev_seed if per_step else None,
+                interpret=not on_tpu, spread_weights=cls, offsets2=offs)
+            return _apply_nufft_deconv(folded, wc, _nufft_deconv_inv(wc))
         folded = rescan_banded_fused(
             sample_y, eff_s, gx_a, offs, wc=wc, d_in=d_in, d_out=d_out,
             chunk=chunk, binning=b, classes=cls, q=bf_q,

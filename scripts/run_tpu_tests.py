@@ -40,6 +40,7 @@ TPU_GATED_FILES = [
     "tests/test_fused_noise.py",
     "tests/test_poisson_kernel.py",
     "tests/test_rescan_banded_fused.py",
+    "tests/test_rescan_nufft.py",
 ]
 
 SUMMARY_RE = re.compile(
@@ -109,9 +110,14 @@ def routing_parity_drive():
     size = 256
     sample = samples.siemens_star((size, size)) * 4.0
     params = RescanParams.create(depletion=6.0, brightness=500.0)
+    import numpy as _np
+
     cells, ok = [], True
-    for q, b in [(1, 1), (2, 1), (4, 1), (1, 2), (2, 2), (4, 2)]:
-        r_factor = 1.0 + b / q  # (R-1)/b = 1/q
+    # q = None: truly-irrational step -- the r5 NUFFT spreading cell
+    # (banded kernel vs the exact rDFT engine; see test_rescan_nufft.py)
+    for q, b in [(1, 1), (2, 1), (4, 1), (1, 2), (2, 2), (4, 2),
+                 (None, 1)]:
+        r_factor = (1.0 + b / q) if q else float(1.0 + _np.pi / 16)
         geom = RescanGeometry(Grid(size, size), rescan_factor=r_factor,
                               binning=b, chunk=32)
         prev = os.environ.get("RLS_BANDED_FUSED")
@@ -124,7 +130,7 @@ def routing_parity_drive():
             os.environ["RLS_BANDED_FUSED"] = "1"
             routed = np.asarray(rescanned_line_sted_image(
                 sample, params, geom, method="scan").image, np.float64)
-            if (q, b) in ((1, 1), (2, 1)):
+            if (q, b) in ((1, 1), (2, 1), (None, 1)):
                 # ENGAGEMENT probe: RLS_BANDED_STAGE=conv yields wrong
                 # output ONLY inside the banded kernel, so a large
                 # deviation proves the default route really is banded

@@ -494,8 +494,12 @@ def test_rescan_windowed_with_custom_depletion_model(monkeypatch):
         geom = RescanGeometry(Grid(h, w), rescan_factor=r, chunk=32)
         want = rescanned_line_sted_image(sample, params, geom,
                                          method="scan").image
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        got = rescanned_line_sted_image(sample, params, geom,
-                                        method="scan").image
-        monkeypatch.undo()
+        # scope the backend fake so undoing it does NOT undo the setenv
+        # above (monkeypatch.undo() reverts everything -- with the r5
+        # NUFFT route a lost RLS_BANDED_FUSED=0 would attempt a real
+        # Pallas compile on CPU)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(jax, "default_backend", lambda: "tpu")
+            got = rescanned_line_sted_image(sample, params, geom,
+                                            method="scan").image
         assert rel_err(got, want) < 1e-5

