@@ -23,7 +23,11 @@ is ALSO measured amortized -- N iterations folded into ONE jitted program
 (docs/PERFORMANCE.md). Both appear in details: ``*_steps_per_sec_chip``
 (per-call, comparable with BENCH_r01) and ``*_device`` (amortized).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+Prints TWO JSON lines: the full
+{"metric", "value", "unit", "vs_baseline", "details"} record, then a
+COMPACT summary line (headline + flagship device rates) printed last so a
+front-truncating tail capture always ends with standalone-parseable
+numbers (r4 VERDICT weak #2).
 """
 
 import json
@@ -81,10 +85,15 @@ LINE_KW = dict(sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
 # round-over-round.
 BOUND_2048_PER_STEP = 2048 / 26.04e-3   # r4 2048^2 roofline composite
 HARNESS_FLOOR_S = 3.5e-3                # amortized-harness floor (r3 cont.)
+# 512^2-class entries fold this many independent images into each timing
+# iteration (see _amortized_image_s ``batch``), so the per-image harness
+# floor is HARNESS_FLOOR_S / BATCH_512 and the rates are real compute
+# measurements (r4 VERDICT weak #4).
+BATCH_512 = 8
 
 
 def _amortized_image_s(make_image, sample, params, out_shape, n=10,
-                       seed_off=0):
+                       seed_off=0, batch=1):
     """Device time per image: n iterations folded into ONE jitted program.
 
     Defeats both the tunnel's per-call dispatch overhead and its
@@ -94,16 +103,35 @@ def _amortized_image_s(make_image, sample, params, out_shape, n=10,
     EAGERLY through the remote-compile tunnel -- one tiny tunnel compile
     per op, minutes of apparent "compile time" (docs/PERFORMANCE.md,
     "Tracing with closure params").
+
+    ``batch`` > 1 folds B independent images (fresh sub-keys, statically
+    unrolled -- unrolling composes with every engine, including the Pallas
+    megakernels, where a vmap batching rule might not) into EACH scan
+    iteration, so the ~3.5 ms/iteration amortized-harness floor
+    (docs/PERFORMANCE.md) spreads to floor/B per image: 512^2-class
+    entries then carry resolvable compute rates instead of
+    ``harness_floor_dominated`` annotations (r4 VERDICT weak #4).
     """
     def many(s, p, keys):
         def body(acc, k):
-            # key-derived perturbation of the sample: the WHOLE pipeline
-            # depends on k, so XLA cannot hoist the noise-free stages out
-            # of the loop (collapsed engines otherwise measure only their
-            # final Poisson draw -- loop-invariant code motion; measured
-            # 2.5x inflation on collapsed paths, docs/PERFORMANCE.md)
-            s_k = s * (1.0 + 1e-6 * jax.random.uniform(k))
-            return acc + make_image(s_k, p, k), None
+            def one(acc, kk):
+                # key-derived perturbation of the sample: the WHOLE
+                # pipeline depends on kk, so XLA cannot hoist the
+                # noise-free stages out of the loop (collapsed engines
+                # otherwise measure only their final Poisson draw --
+                # loop-invariant code motion; measured 2.5x inflation on
+                # collapsed paths, docs/PERFORMANCE.md)
+                s_k = s * (1.0 + 1e-6 * jax.random.uniform(kk))
+                return acc + make_image(s_k, p, kk)
+            if batch == 1:
+                return one(acc, k), None
+            kb = jax.random.split(k, batch)
+            for i in range(batch):
+                # accumulating through acc serializes the B pipelines --
+                # deliberate: timing stays honest even if XLA would
+                # otherwise overlap them
+                acc = one(acc, kb[i])
+            return acc, None
         out, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32), keys)
         # checksum INSIDE the jitted program: float() of the scalar then
         # forces the whole pipeline's VALUE with a 4-byte transfer. An
@@ -123,7 +151,7 @@ def _amortized_image_s(make_image, sample, params, out_shape, n=10,
         t0 = time.perf_counter()
         float(f(sample, params, keys))
         best = min(best, (time.perf_counter() - t0) / n)
-    return best
+    return best / batch
 
 
 def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
@@ -159,7 +187,8 @@ def bench_scan_steps_per_sec(noise_mode: str, size: int = None):
     dev_dt = _amortized_image_s(
         lambda s, p, k: line_sted_image(s, p, geom, key=k, method="scan",
                                         noise_mode=noise_mode).image,
-        sample, params, (size, size), seed_off=hash(noise_mode) % 1000)
+        sample, params, (size, size), seed_off=hash(noise_mode) % 1000,
+        batch=BATCH_512 if size == SCAN_SIZE else 1)
     return size / dt, size / dev_dt, compile_s, dt
 
 
@@ -216,7 +245,7 @@ def bench_rescan_steps_per_sec(noise_mode: str = "collapsed"):
             s, p, geom, key=k, method="scan",
             noise_mode=noise_mode).image,
         sample, params, geom.canvas_shape,
-        seed_off=600 + hash(noise_mode) % 100)
+        seed_off=600 + hash(noise_mode) % 100, batch=BATCH_512)
     return percall, SCAN_SIZE / dev_dt
 
 
@@ -235,7 +264,7 @@ def bench_fractional_rescan_per_step():
         lambda s, p, k: rescanned_line_sted_image(
             s, p, geom, key=k, method="scan",
             noise_mode="per_step").image,
-        sample, params, geom.canvas_shape, seed_off=900)
+        sample, params, geom.canvas_shape, seed_off=900, batch=BATCH_512)
     return SCAN_SIZE / dev_dt
 
 
@@ -257,7 +286,7 @@ def bench_practical_rescan_collapsed():
     dev_dt = _amortized_image_s(
         lambda s, p, k: rescanned_line_sted_image(
             s, p, geom, key=k, method="scan").image,
-        sample, params, geom.canvas_shape, seed_off=850)
+        sample, params, geom.canvas_shape, seed_off=850, batch=BATCH_512)
     return size / dev_dt, r_prac
 
 
@@ -312,6 +341,28 @@ def bench_large_fov_per_step(size: int = 2048):
             s, p, geom, key=k, method="scan",
             noise_mode="per_step").image,
         sample, params, geom.canvas_shape, n=3, seed_off=970)
+    return size / dev_dt
+
+
+def bench_large_fov_per_step_irrational(size: int = 2048):
+    """Camera-faithful per-step noise at a truly-IRRATIONAL rescan factor
+    (r4 VERDICT weak #3): no rational class structure, so placement runs
+    the banded kernel's r5 NUFFT spreading mode (two parity canvases of a
+    2x-oversampled fine grid + one window deconvolution per image)
+    instead of the rDFT hybrid's per-frame K-column DFT matmuls (~6.5k
+    steps/s at this size, docs/PERFORMANCE.md banded A/B table)."""
+    from rescan_line_sted_tpu.config import RescanGeometry
+    from rescan_line_sted_tpu.imaging import rescanned_line_sted_image
+
+    geom = RescanGeometry(Grid(size, size),
+                          rescan_factor=1.0 + float(np.pi) / 16, chunk=32)
+    sample = samples.siemens_star((size, size))
+    params = LineSTEDParams.create(depletion=8.0, **LINE_KW)
+    dev_dt = _amortized_image_s(
+        lambda s, p, k: rescanned_line_sted_image(
+            s, p, geom, key=k, method="scan",
+            noise_mode="per_step").image,
+        sample, params, geom.canvas_shape, n=3, seed_off=975)
     return size / dev_dt
 
 
@@ -625,6 +676,7 @@ def main():
     point_ps_dev = bench_point_per_step()
     large_fov_dev = bench_large_fov_steps_per_sec(2048)
     large_ps_dev = bench_large_fov_per_step(2048)
+    large_ps_irr_dev = bench_large_fov_per_step_irrational(2048)
     tpu_sweep_s, sweep_compile_s = bench_tpu_sweep()
     cold_lower_s, cold_compile_s = bench_cold_compile()
     oracle_sweep_s, pt_step, ln_step = bench_oracle_sweep()
@@ -687,6 +739,8 @@ def main():
             "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
             "rescan_per_step_2048_fractional_R_steps_per_sec_device":
                 round(large_ps_dev, 1),
+            "rescan_per_step_2048_irrational_R_steps_per_sec_device":
+                round(large_ps_irr_dev, 1),
             "line_sted_scan_size": SCAN_SIZE,
             "scan_wall_s_per_image": round(scan_dt, 4),
             "compile_s": {"scan": round(scan_compile_s, 1),
@@ -707,10 +761,11 @@ def main():
             # entry attains (r3 VERDICT item 4: driver-visible
             # round-over-round bound tracking). Bounds live in
             # docs/PERFORMANCE.md and change only when a roofline is
-            # re-measured. 512^2 per-step/collapsed entries run at/under
-            # the documented ~3-4 ms/iteration amortized-harness floor,
-            # where a compute bound is not resolvable -- they are
-            # annotated, not fractioned.
+            # re-measured. 512^2-class entries fold BATCH_512 images into
+            # each timing iteration, so the per-image harness floor is
+            # HARNESS_FLOOR_S / BATCH_512 and the rates are resolvable
+            # compute measurements (r4 VERDICT weak #4); anything still
+            # at/under 2x that residual floor is annotated, not claimed.
             "bound_fractions": {
                 "rescan_per_step_2048_fractional_R": {
                     "bound_steps_per_sec": BOUND_2048_PER_STEP,
@@ -733,12 +788,40 @@ def main():
                             frac_ps_dev,
                         "rescan_collapsed_practical_R_steps_per_sec_device":
                             prac_dev,
-                    }.items() if SCAN_SIZE / v < 2 * HARNESS_FLOOR_S
+                    }.items()
+                    if SCAN_SIZE / v < 2 * HARNESS_FLOOR_S / BATCH_512
                 ],
                 "harness_floor_s": HARNESS_FLOOR_S,
+                "batched_images_per_dispatch_512": BATCH_512,
             },
             "north_star_target_x": 100.0,
         },
+    }))
+    # Compact summary printed LAST (r4 VERDICT weak #2): the driver's tail
+    # capture front-truncates long output, so the huge details line above
+    # can lose its leading headline fields. This final line is small
+    # enough to always survive whole -- machine-readable headline + the
+    # flagship device rates, parseable standalone.
+    print(json.dumps({
+        "metric": "e2e_dose_sweep_speedup_vs_cpu_numpy",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup, 2),
+        "scan_path_loop_vs_loop_x": round(loop_vs_loop, 1),
+        "line_sted_scan_steps_per_sec_device": round(steps_dev, 1),
+        "line_sted_scan_steps_per_sec_device_per_step_noise":
+            round(steps_dev_ps, 1),
+        "rescan_scan_steps_per_sec_device": round(rescan_dev, 1),
+        "rescan_scan_steps_per_sec_device_per_step_noise":
+            round(rescan_dev_ps, 1),
+        "rescan_per_step_fractional_R_steps_per_sec_device":
+            round(frac_ps_dev, 1),
+        "large_fov_2048_steps_per_sec_device": round(large_fov_dev, 1),
+        "rescan_per_step_2048_fractional_R_steps_per_sec_device":
+            round(large_ps_dev, 1),
+        "rescan_per_step_2048_irrational_R_steps_per_sec_device":
+            round(large_ps_irr_dev, 1),
+        "summary_of_details_line_above": True,
     }))
 
 
