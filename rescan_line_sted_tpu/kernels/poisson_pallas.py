@@ -67,6 +67,46 @@ def _uniform_planes(shape, rounds: int):
     return lambda k: all_u[k * rows:(k + 1) * rows]
 
 
+def _inversion(lam: jnp.ndarray, kmax: int) -> jnp.ndarray:
+    """Single-uniform CDF-inversion Poisson for small lambda.
+
+    ``N = #{k in [0, kmax) : u > F(k)}`` with ``F`` the Poisson CDF --
+    exact given the uniform (P(N = j) = p_j by construction), truncated
+    at ``kmax`` with P(true N > kmax) the tier's documented bound (the
+    excess mass collapses onto ``kmax``, the same semantics as Knuth's
+    fixed-round cap). Versus the Knuth product method this costs ONE
+    hardware-PRNG word per pixel instead of one per round, and ~5 VPU
+    ops per CDF term (two muls, add, compare, add) instead of ~7 per
+    round -- at the bench configs the sampler tier work is the dominant
+    per-step term (docs/PERFORMANCE.md 2048^2 roofline), and every
+    sub-block sits at rates < 0.3 where a handful of CDF terms suffice
+    (scripts/perf_tier_mix.py).
+
+    f32 CDF accumulation error (~1e-7/term) only perturbs decision
+    boundaries by ~2^-23 of probability mass -- far below the tiers'
+    5e-5 truncation budget; statistics validated on hardware in
+    tests/test_poisson_kernel.py.
+    """
+    return _inversion_from_uniform(_uniform(lam.shape), lam, kmax)
+
+
+def _inversion_from_uniform(u: jnp.ndarray, lam: jnp.ndarray,
+                            kmax: int) -> jnp.ndarray:
+    """The inversion core as a pure function of the uniform: the Poisson
+    quantile function N(u) = #{k < kmax : u > F(k)} -- split out so CPU
+    tests can verify exactness against the pmf on a deterministic grid of
+    uniforms (tests/test_poisson_kernel.py) without the hardware PRNG."""
+    term = jnp.exp(-lam)                       # p_0
+    cdf = term
+    n = jnp.zeros(lam.shape, jnp.float32)
+    for k in range(kmax):
+        n = n + (u > cdf).astype(jnp.float32)
+        if k + 1 < kmax:
+            term = term * (lam * (1.0 / (k + 1)))   # p_{k+1}
+            cdf = cdf + term
+    return n
+
+
 def _knuth(lam: jnp.ndarray, rounds: int, batched: bool = False
            ) -> jnp.ndarray:
     """Knuth product-method Poisson for small lambda, ``rounds`` unrolled.
@@ -147,6 +187,18 @@ def sample_poisson(lam: jnp.ndarray, batched: bool = False) -> jnp.ndarray:
     return jnp.where(lam > 0.0, out, lam * 0.0)
 
 
+# CDF-inversion tier ladder: (upper rate bound, CDF terms). Each cell's
+# truncation P(Poisson(hi) > kmax) stays under the 5e-5 budget shared with
+# sample_poisson's fixed rounds:
+#   hi=0.10, k=3:  3.8e-6    hi=0.33, k=4:  2.3e-5
+#   hi=0.85, k=6:  2.7e-5    hi=1.5,  k=8:  2.4e-5
+#   hi=10,   k=24: 3.0e-5
+# The ladder is deliberately fine below ~1: bench-config camera maxes sit
+# at < 0.3 (scripts/perf_tier_mix.py), where the old 10-round Knuth tier
+# overshot the needed work ~2.5x.
+_INV_TIERS = ((0.1, 3), (0.33, 4), (0.85, 6), (1.5, 8), (_CUT, 24))
+
+
 def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
                          seed) -> None:
     """Write ``Poisson(lam)`` into ``out_ref[rows, :]``, picking a sampler
@@ -161,9 +213,14 @@ def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
       illumination envelope the f32 rates are exactly zero, which is the
       MAJORITY of a scanning-microscope frame);
     * max < 1e-3: one-uniform Bernoulli (P(N >= 2) <= 5e-7 per pixel);
-    * max < 1.5:  Knuth, 10 rounds (truncation < 2e-6);
-    * max < 10:   Knuth, 24 rounds (truncation < 5e-5, as sample_poisson);
+    * max < 10:   single-uniform CDF inversion (``_inversion``) on the
+      ``_INV_TIERS`` ladder -- term count graded to the sub-block max so
+      the VPU work tracks the actual rates (truncation < 5e-5 per cell,
+      table above);
     * else:       full Knuth+PTRS (exact branch selection per pixel).
+
+    ``RLS_INV_SAMPLER=0`` restores the r4 Knuth ladder (10 rounds < 1.5,
+    24 rounds < 10) for A/B measurement (scripts/perf_sampler_ab.py).
 
     Each tier seeds the hardware PRNG itself with ``seed`` (a scalar or a
     tuple of scalars -- tuples widen the effective seed space past 31 bits,
@@ -174,6 +231,8 @@ def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
     comparison, and without the catch-all the block would be left unwritten
     (uninitialized VMEM) instead of propagating the NaN.
     """
+    import os
+
     seeds = seed if isinstance(seed, tuple) else (seed,)
     mx = jnp.max(lam)
 
@@ -186,15 +245,25 @@ def store_poisson_tiered(out_ref, rows: slice, lam: jnp.ndarray,
         pltpu.prng_seed(*seeds)
         out_ref[rows, :] = (_uniform(lam.shape) < lam).astype(jnp.float32)
 
-    @pl.when((mx >= 1e-3) & (mx < 1.5))
-    def _dim():
-        pltpu.prng_seed(*seeds)
-        out_ref[rows, :] = _knuth(lam, 10, batched=True)
+    if os.environ.get("RLS_INV_SAMPLER", "1") != "0":
+        lo = 1e-3
+        for hi, kmax in _INV_TIERS:
+            @pl.when((mx >= lo) & (mx < hi))
+            def _inv(kmax=kmax):
+                pltpu.prng_seed(*seeds)
+                out_ref[rows, :] = _inversion(lam, kmax)
 
-    @pl.when((mx >= 1.5) & (mx < _CUT))
-    def _mid():
-        pltpu.prng_seed(*seeds)
-        out_ref[rows, :] = _knuth(lam, _KNUTH_ROUNDS, batched=True)
+            lo = hi
+    else:
+        @pl.when((mx >= 1e-3) & (mx < 1.5))
+        def _dim():
+            pltpu.prng_seed(*seeds)
+            out_ref[rows, :] = _knuth(lam, 10, batched=True)
+
+        @pl.when((mx >= 1.5) & (mx < _CUT))
+        def _mid():
+            pltpu.prng_seed(*seeds)
+            out_ref[rows, :] = _knuth(lam, _KNUTH_ROUNDS, batched=True)
 
     @pl.when((mx >= _CUT) | jnp.isnan(mx))
     def _bright():

@@ -60,10 +60,17 @@ def gated_files_on_disk():
 
 def run_pytest_file(path, env):
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", path, "-q", "--tb=line", "-p",
-         "no:cacheprovider"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", path, "-q", "--tb=line", "-p",
+             "no:cacheprovider"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
+    except subprocess.TimeoutExpired as e:
+        # record the timeout instead of losing the whole scorecard run
+        return dict(file=path, passed=False,
+                    counts=dict(failed=0, passed=0, skipped=0, errors=1),
+                    wall_s=round(time.time() - t0, 1),
+                    tail=f"TIMEOUT after 7200s: {e}")
     wall = time.time() - t0
     counts = dict(failed=0, passed=0, skipped=0, errors=0)
     for line in reversed(proc.stdout.splitlines()):
@@ -192,6 +199,9 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--full", action="store_true",
                     help="run EVERY test file on hardware, not just gated")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip files already green in the --out scorecard "
+                         "(crash recovery for multi-hour --full runs)")
     ap.add_argument("--drive-only", action="store_true",
                     help="(internal) run the routing drive in-process")
     ap.add_argument("--sharded-append", metavar="SCORECARD",
@@ -238,13 +248,40 @@ def main():
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
 
+    rounds = [int(m.group(1)) for f in glob.glob(
+        os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json", f))]
+    out = args.out or os.path.join(
+        REPO, f"TESTS_TPU_r{(max(rounds) + 1 if rounds else 1):02d}.json")
+
     entries = []
+    if args.resume and os.path.exists(out):
+        with open(out) as f:
+            prior = json.load(f)
+        entries = [e for e in prior.get("entries", [])
+                   if e.get("passed") and e["file"] in files]
+        print(f"resuming: {len(entries)} green entries kept from {out}")
+
+    def checkpoint(done=False, device=None):
+        # write after every file so a crash loses at most one entry
+        with open(out, "w") as f:
+            json.dump(dict(
+                entries=entries, device=device,
+                date=datetime.datetime.now().isoformat(timespec="seconds"),
+                full_suite=bool(args.full), in_progress=not done,
+                all_passed=done and all(e["passed"] for e in entries)),
+                f, indent=1)
+
+    done_files = {e["file"] for e in entries}
     for path in files:
+        if path in done_files:
+            continue
         print(f"== {path}", flush=True)
         entry = run_pytest_file(path, env)
         print(f"   {'PASS' if entry['passed'] else 'FAIL'} "
               f"{entry['counts']} {entry['wall_s']}s", flush=True)
         entries.append(entry)
+        checkpoint()
 
     print("== routing/parity drive", flush=True)
     t0 = time.time()
@@ -271,20 +308,10 @@ def main():
           f"{sentry['wall_s']}s", flush=True)
     entries.append(sentry)
 
-    rounds = [int(m.group(1)) for f in glob.glob(
-        os.path.join(REPO, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json", f))]
-    out = args.out or os.path.join(
-        REPO, f"TESTS_TPU_r{(max(rounds) + 1 if rounds else 1):02d}.json")
-    scorecard = dict(
-        entries=entries, device=device,
-        date=datetime.datetime.now().isoformat(timespec="seconds"),
-        full_suite=bool(args.full),
-        all_passed=all(e["passed"] for e in entries))
-    with open(out, "w") as f:
-        json.dump(scorecard, f, indent=1)
-    print(f"wrote {out}: all_passed={scorecard['all_passed']}")
-    sys.exit(0 if scorecard["all_passed"] else 1)
+    checkpoint(done=True, device=device)
+    all_passed = all(e["passed"] for e in entries)
+    print(f"wrote {out}: all_passed={all_passed}")
+    sys.exit(0 if all_passed else 1)
 
 
 if __name__ == "__main__":

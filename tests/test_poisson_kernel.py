@@ -14,10 +14,44 @@ import numpy as np
 import pytest
 
 from rescan_line_sted_tpu.kernels.poisson_pallas import (
+    _INV_TIERS,
+    _inversion_from_uniform,
     poisson_pallas,
     poisson_rows_tiered,
 )
 from rescan_line_sted_tpu.physics.noise import poisson_counts
+
+
+@pytest.mark.parametrize("lam_val,kmax", [
+    (0.05, 3), (0.29, 4), (0.7, 6), (1.2, 8), (7.0, 24)])
+def test_inversion_quantile_exact(lam_val, kmax):
+    """The CDF-inversion sampler is EXACT given the uniform: feeding a
+    dense deterministic grid of uniforms must reproduce the Poisson pmf
+    to grid resolution (no PRNG, no statistics -- runs on CPU). Each
+    (lam, kmax) pair is one tier of ``_INV_TIERS`` exercised at a rate
+    inside its cell."""
+    from scipy import stats
+
+    m = 400_000
+    u = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    lam = jnp.full((m,), lam_val, jnp.float32)
+    n = np.asarray(_inversion_from_uniform(u, lam, kmax))
+    assert n.min() >= 0 and n.max() <= kmax
+    pmf = stats.poisson.pmf(np.arange(kmax + 1), lam_val)
+    pmf[kmax] += stats.poisson.sf(kmax, lam_val)  # truncation mass -> kmax
+    obs = np.bincount(n.astype(np.int64), minlength=kmax + 1) / m
+    np.testing.assert_allclose(obs, pmf, atol=1e-4)
+    # the tier ladder's own truncation budget: < 5e-5 inside each cell
+    assert stats.poisson.sf(kmax, lam_val) < 5e-5
+
+
+def test_inv_tier_ladder_truncation_budget():
+    """Every ``_INV_TIERS`` cell keeps P(Poisson(hi) > kmax) under the
+    5e-5 budget documented in store_poisson_tiered (guards retunes)."""
+    from scipy import stats
+
+    for hi, kmax in _INV_TIERS:
+        assert stats.poisson.sf(kmax, hi) < 5e-5, (hi, kmax)
 
 
 def test_fallback_statistics_and_shape():
@@ -73,12 +107,16 @@ def test_rows_tiered_hardware_statistics():
     mostly-dark layout like the per-step hybrid feeds it."""
     rows, cols = 1024, 512
     lam = np.full((rows, cols), 2e-4, np.float32)   # dark tier
-    lam[100:130, :] = 0.8                            # dim tier block rows
-    lam[300:330, :] = 6.0                            # mid tier
-    lam[600:630, :] = 40.0                           # bright tier
+    lam[100:130, :] = 0.8                            # inversion k=6 tier
+    lam[200:230, :] = 0.05                           # inversion k=3 tier
+    lam[300:330, :] = 6.0                            # inversion k=24 tier
+    lam[400:430, :] = 0.25                           # inversion k=4 tier
+    lam[500:530, :] = 1.2                            # inversion k=8 tier
+    lam[600:630, :] = 40.0                           # bright tier (PTRS)
     x = np.asarray(poisson_rows_tiered(jax.random.key(5), jnp.asarray(lam)))
-    for sel, lv in [(slice(100, 130), 0.8), (slice(300, 330), 6.0),
-                    (slice(600, 630), 40.0)]:
+    for sel, lv in [(slice(100, 130), 0.8), (slice(200, 230), 0.05),
+                    (slice(300, 330), 6.0), (slice(400, 430), 0.25),
+                    (slice(500, 530), 1.2), (slice(600, 630), 40.0)]:
         m = x[sel].mean()
         v = x[sel].var()
         assert abs(m - lv) < 0.05 * max(lv, 1.0), (lv, m)
