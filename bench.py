@@ -83,7 +83,15 @@ LINE_KW = dict(sigma_exc=3.0, sigma_det=3.0, stripe_period=12.0,
 # These are the attainable ceilings the rooflines derived -- update ONLY
 # when a roofline is re-measured, so bound_fractions stay comparable
 # round-over-round.
-BOUND_2048_PER_STEP = 2048 / 26.04e-3   # r4 2048^2 roofline composite
+# r5: primitive-grounded bound (r4 VERDICT weak #5): every term is an
+# algebraic count (scripts/perf_tier_mix.py, from the noise-free camera)
+# times a hardware-primitive rate measured in a minimal standalone kernel
+# (scripts/perf_vpu_bound.py --bound): conv 68.7 GMAC / 15.6 TMAC/s
+# (measured f32-HIGHEST dot = the bf16x6 model) + sampler 537 Mpx
+# x (uniform + exp) + 1993 M inversion terms + 8192 roll+add placement
+# windows = 11.98 ms/img. Replaces the r4 26.04 ms bound whose dominant
+# term was the engine's own sampler stage timing (partly circular).
+BOUND_2048_PER_STEP = 2048 / 11.98e-3   # r5 primitive-grounded composite
 HARNESS_FLOOR_S = 3.5e-3                # amortized-harness floor (r3 cont.)
 # 512^2-class entries fold this many independent images into each timing
 # iteration (see _amortized_image_s ``batch``), so the per-image harness
@@ -771,10 +779,14 @@ def main():
                     "bound_steps_per_sec": BOUND_2048_PER_STEP,
                     "fraction": round(large_ps_dev / BOUND_2048_PER_STEP,
                                       3),
-                    "derivation": "PERFORMANCE.md r4 2048^2 roofline: "
-                                  "conv MXU floor 4.19 ms + measured "
-                                  "irreducible sampler tier work 19.67 ms "
-                                  "+ placement 2.18 ms = 26.04 ms/img",
+                    "derivation": "PERFORMANCE.md r5 grounded bound: "
+                                  "conv 68.7 GMAC / 15.6 TMAC/s measured "
+                                  "primitive + sampler (537 Mpx uniform+"
+                                  "exp + 1993 M CDF-inversion terms) + "
+                                  "8192 roll+add windows = 11.98 ms/img; "
+                                  "every count algebraic (perf_tier_mix)"
+                                  ", every rate a standalone-kernel "
+                                  "primitive (perf_vpu_bound)",
                 },
                 "harness_floor_dominated": [
                     k for k, v in {

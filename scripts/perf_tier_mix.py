@@ -150,6 +150,19 @@ def tier_mix(size: int, chunk: int, rescan_factor: float = 1.5,
         words[name] = int(counts[name]) * wpp * px_sub
     knuth_sel = (maxes >= 1e-3) & (maxes < 10.0)
     adaptive_rounds = int(knuth_rounds_needed(maxes[knuth_sel]).sum())
+
+    # CDF-inversion ladder (the shipping sampler): per-pixel cost is ONE
+    # uniform + one exp + kmax inversion terms, kmax graded to the
+    # sub-block max (poisson_pallas._INV_TIERS)
+    from rescan_line_sted_tpu.kernels.poisson_pallas import _INV_TIERS
+    inv_blocks = {}
+    inv_terms = 0
+    lo = 1e-3
+    for hi, kmax in _INV_TIERS:
+        nblk = int(((maxes >= lo) & (maxes < hi)).sum())
+        inv_blocks[f"k{kmax}"] = nblk
+        inv_terms += nblk * kmax
+        lo = hi
     total_sub = maxes.size
     out = dict(
         size=size, chunk=chunk, d_in=d_in, d_out=d_out, lane=lane,
@@ -169,6 +182,17 @@ def tier_mix(size: int, chunk: int, rescan_factor: float = 1.5,
             sum(counts[n] * w_ for n, _, w_ in TIERS
                 if n in ("dim", "mid"))),
         adaptive_knuth_round_blocks=int(adaptive_rounds),
+        # shipping inversion-ladder counts (per image): sampled pixels
+        # draw 1 uniform + 1 exp each; term-blocks at graded kmax
+        inv_tier_blocks=inv_blocks,
+        inv_term_px=int(inv_terms) * px_sub,
+        sampled_px=(total_sub - counts["zero"]) * px_sub,
+        # placement-loop window accumulations (lo + wrap-split hi): one
+        # roll+add of the [w_pad, lane] window per position per lane tile
+        placement_windows=w * (hb // lane),
+        # conv-stage MACs: the [C*dob, d_in] x [d_in, lane] matmul over
+        # all (chunk, lane-tile) grid steps = W * dob * d_in * H/b
+        conv_macs=w * dob * d_in * hb,
     )
     return out
 
