@@ -58,12 +58,12 @@ def gated_files_on_disk():
     return out
 
 
-def run_pytest_file(path, env):
+def run_pytest_file(path, env, allow_all_skipped=False):
     t0 = time.time()
     try:
         proc = subprocess.run(
-            [sys.executable, "-m", "pytest", path, "-q", "--tb=line", "-p",
-             "no:cacheprovider"],
+            [sys.executable, "-m", "pytest", path, "-q", "-rs", "--tb=line",
+             "-p", "no:cacheprovider"],
             cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
     except subprocess.TimeoutExpired as e:
         # record the timeout instead of losing the whole scorecard run
@@ -83,8 +83,24 @@ def run_pytest_file(path, env):
             break
     ok = proc.returncode == 0 and counts["failed"] == 0 \
         and counts["errors"] == 0 and counts["passed"] > 0
+    all_skipped = (proc.returncode == 0 and counts["failed"] == 0
+                   and counts["errors"] == 0 and counts["passed"] == 0
+                   and counts["skipped"] > 0)
+    if allow_all_skipped and all_skipped:
+        # --full on the 1-chip TPU: files whose tests need >= 8 (virtual)
+        # devices (test_mesh.py) legitimately skip wholesale; record the
+        # reason instead of failing the scorecard. The default gated-file
+        # mode keeps requiring passed > 0 (a gated file that skips on
+        # hardware would mean the gate itself broke).
+        ok = True
     entry = dict(file=path, passed=bool(ok), counts=counts,
                  wall_s=round(wall, 1))
+    if allow_all_skipped and all_skipped:
+        reasons = sorted(set(
+            line.split(":", 2)[-1].strip()
+            for line in proc.stdout.splitlines()
+            if line.startswith("SKIPPED")))
+        entry["all_skipped_reason"] = reasons or "all tests skipped"
     if not ok:
         entry["tail"] = proc.stdout[-2000:] + proc.stderr[-500:]
     return entry
@@ -277,7 +293,7 @@ def main():
         if path in done_files:
             continue
         print(f"== {path}", flush=True)
-        entry = run_pytest_file(path, env)
+        entry = run_pytest_file(path, env, allow_all_skipped=args.full)
         print(f"   {'PASS' if entry['passed'] else 'FAIL'} "
               f"{entry['counts']} {entry['wall_s']}s", flush=True)
         entries.append(entry)
