@@ -362,6 +362,15 @@ def test_legacy_point_per_step_mean_matches_collapsed(monkeypatch):
                             method="scan").image
     monkeypatch.setattr(pmod, "_point_band", lambda *a, **k: None)
     monkeypatch.setattr(pmod, "maybe_poisson", lambda k, m: m)
+    # on the TPU backend the legacy per-step path draws via the
+    # hardware-PRNG tiered sampler, not maybe_poisson -- neutralize that
+    # seam too or `got` is genuinely noisy (found by the r5 full-suite
+    # hardware run: rel err 0.149 = shot noise at brightness 50)
+    import importlib
+    ppmod = importlib.import_module(  # the package re-exports the
+        "rescan_line_sted_tpu.kernels.poisson_pallas")  # FUNCTION name
+    monkeypatch.setattr(ppmod, "poisson_rows_tiered",
+                        lambda k, lam, **kw: jnp.maximum(lam, 0.0))
     got = point_sted_image(sample, params, geom, key=jax.random.key(0),
                            method="scan", noise_mode="per_step").image
     assert rel_err(got, want) < 1e-5
