@@ -24,3 +24,11 @@ import jax  # noqa: E402
 
 if not os.environ.get("RLS_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On hardware every test subprocess pays tunnel compiles from scratch;
+    # the persistent cache cuts repeat program compiles ~70x (measured in
+    # utils/observability.enable_compilation_cache) across the
+    # one-process-per-file scorecard run (scripts/run_tpu_tests.py).
+    from rescan_line_sted_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
