@@ -31,4 +31,6 @@ else:
     # one-process-per-file scorecard run (scripts/run_tpu_tests.py).
     from rescan_line_sted_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+    # tiny-grid test programs each compile in ~1-4 s through the tunnel
+    # (dozens per file) -- cache them all, not just the >= 5 s defaults
+    enable_compilation_cache(min_compile_secs=0.1)
